@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched whisper-large-v3 RTF on 30 minutes of audio.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's large-v3 fp16 batch-8 RTF of 5.7x on Apple
+M-series (BASELINE.md; reference README.md:41).
+
+Methodology: synthetic 30-min speech-like audio → energy VAD → merge into
+≤30 s chunks → one log-mel per chunk → truly-batched greedy decode
+(batch 8, 128 decode steps/chunk — above the ~60-90 tokens a real 30 s
+speech chunk yields, so the figure is conservative). Random weights: RTF is
+weight-value-independent. One warmup batch covers XLA compilation (the
+analogue of the reference's excluded model-load time).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def synth_speech(duration_s: float, sr: int = 16000, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(duration_s * sr)) / sr
+    f0 = 120 + 30 * np.sin(2 * np.pi * 0.5 * t)
+    sig = sum(
+        (0.5 / k) * np.sin(2 * np.pi * k * np.cumsum(f0) / sr) for k in range(1, 6)
+    )
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3.1 * t))
+    gaps = (np.sin(2 * np.pi * 0.13 * t) > -0.85).astype(np.float64)
+    out = sig * env * gaps + 0.005 * rng.standard_normal(len(t))
+    return (0.3 * out / np.abs(out).max()).astype(np.float32)
+
+
+def main():
+    import jax
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    model_name = os.environ.get(
+        "WHISPERX_TPU_BENCH_MODEL", "large-v3" if on_tpu else "test-nano"
+    )
+    duration_s = float(os.environ.get("WHISPERX_TPU_BENCH_SECONDS", 1800))
+    batch_size = int(os.environ.get("WHISPERX_TPU_BENCH_BATCH", 8))
+    sample_len = int(os.environ.get("WHISPERX_TPU_BENCH_SAMPLE_LEN", 128))
+
+    import warnings
+
+    warnings.filterwarnings("ignore")
+
+    from whisperx_tpu.asr import load_model
+
+    pipeline = load_model(
+        model_name,
+        vad_method="energy",
+        language="en",
+        asr_options={
+            "temperatures": (0.0,),
+            "without_timestamps": True,
+            "log_prob_threshold": None,
+            "compression_ratio_threshold": None,
+            "no_speech_threshold": None,
+            # fixed decode length: random weights never emit EOT, so cap the
+            # loop at a realistic-but-conservative token budget per chunk
+            "sample_len": sample_len,
+        },
+        batch_size=batch_size,
+    )
+
+    audio = synth_speech(duration_s)
+
+    # warmup: compile every program (mel, encoder, prefill, decode loop)
+    warm = audio[: 16000 * 60]
+    pipeline.transcribe(warm, batch_size=batch_size)
+
+    t0 = time.perf_counter()
+    result = pipeline.transcribe(audio, batch_size=batch_size)
+    elapsed = time.perf_counter() - t0
+
+    rtf = duration_s / elapsed
+    baseline = 5.7  # reference large-v3 fp16 batch 8 (README.md:41)
+    print(
+        json.dumps(
+            {
+                "metric": f"{model_name} batch={batch_size} RTF (30-min audio, VAD+mel+batched greedy decode)",
+                "value": round(rtf, 2),
+                "unit": "x realtime",
+                "vs_baseline": round(rtf / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Batched decode-loop tests on the tiny random model.
+
+Random weights produce garbage text, but every structural property of the
+decode loop is checkable: shapes, EOT masking, timestamp grammar,
+suppression, determinism, batch consistency.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisperx_tpu.decoding import DecodingOptions, decode, detect_language, get_tokenizer
+from whisperx_tpu.decoding import filters as F
+
+
+def _mel(b=1, n_mels=80, seed=0):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((b, 3000, n_mels)).astype(np.float32) * 0.1
+    return jnp.asarray(m)
+
+
+def test_greedy_decode_runs(nano_model):
+    res = decode(
+        nano_model,
+        _mel()[0],
+        DecodingOptions(language="en", sample_len=12),
+    )
+    assert res.language == "en"
+    assert isinstance(res.tokens, list)
+    assert len(res.tokens) <= 12
+    assert np.isfinite(res.avg_logprob)
+    assert 0.0 <= res.no_speech_prob <= 1.0
+
+
+def test_batch_matches_single(nano_model):
+    """Row i of a batched decode must equal a single decode of that row."""
+    mel = _mel(b=3, seed=1)
+    opts = DecodingOptions(language="en", sample_len=10)
+    batch = decode(nano_model, mel, opts)
+    for i in range(3):
+        single = decode(nano_model, mel[i], opts)
+        assert batch[i].tokens == single.tokens, f"row {i} diverged"
+
+
+def test_greedy_is_deterministic(nano_model):
+    opts = DecodingOptions(language="en", sample_len=10)
+    r1 = decode(nano_model, _mel(seed=2)[0], opts)
+    r2 = decode(nano_model, _mel(seed=2)[0], opts)
+    assert r1.tokens == r2.tokens
+
+
+def test_timestamp_grammar(nano_model):
+    """With timestamps on, output must start with a timestamp token and
+    timestamps must be non-decreasing."""
+    tok = get_tokenizer(True, language="en")
+    res = decode(
+        nano_model, _mel(seed=3)[0], DecodingOptions(language="en", sample_len=20)
+    )
+    if res.tokens:
+        assert res.tokens[0] >= tok.timestamp_begin
+        ts = [t for t in res.tokens if t >= tok.timestamp_begin]
+        assert ts == sorted(ts)
+
+
+def test_without_timestamps_suppresses_them(nano_model):
+    tok = get_tokenizer(True, language="en")
+    res = decode(
+        nano_model,
+        _mel(seed=4)[0],
+        DecodingOptions(language="en", sample_len=16, without_timestamps=True),
+    )
+    assert all(t < tok.timestamp_begin for t in res.tokens)
+
+
+def test_suppressed_tokens_never_sampled(nano_model):
+    tok = get_tokenizer(True, language="en")
+    res = decode(
+        nano_model, _mel(seed=5)[0], DecodingOptions(language="en", sample_len=24)
+    )
+    banned = set(F.build_suppress_list(tok, "-1"))
+    assert not (set(res.tokens) & banned)
+
+
+def test_sampling_with_temperature(nano_model):
+    res = decode(
+        nano_model,
+        _mel(seed=6)[0],
+        DecodingOptions(language="en", temperature=1.0, sample_len=10),
+        rng=jax.random.PRNGKey(7),
+    )
+    assert len(res.tokens) <= 10
+
+
+def test_detect_language_distribution(nano_model):
+    tok = get_tokenizer(True, language="en")
+    codes, probs = detect_language(nano_model, _mel(b=2, seed=8), tok)
+    assert len(codes) == 2
+    for p in probs:
+        assert abs(sum(p.values()) - 1.0) < 1e-3
+        assert set(p) == set(tok.all_language_codes)
+
+
+def test_filter_state_updates():
+    tok = get_tokenizer(True, language="en")
+    init = jnp.asarray([[tok.sot, tok.to_language_token("en"), tok.transcribe]])
+    st = F.init_filter_state(init)
+    assert int(st.last_token[0]) == tok.transcribe
+    ts_tok = jnp.asarray([tok.timestamp_begin + 5])
+    st2 = F.update_filter_state(st, ts_tok, tok.timestamp_begin)
+    assert bool(st2.has_timestamp[0])
+    assert int(st2.last_timestamp[0]) == tok.timestamp_begin + 5
+
+
+def test_prompt_prefixes_initial_tokens(nano_model):
+    res = decode(
+        nano_model,
+        _mel(seed=9)[0],
+        DecodingOptions(language="en", sample_len=8, prompt="context words"),
+    )
+    assert len(res.tokens) <= 8  # decode still returns only sampled tokens

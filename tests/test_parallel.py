@@ -1,0 +1,56 @@
+"""Sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisperx_tpu.parallel import make_mesh, shard_params_tp, use_mesh
+
+
+def test_virtual_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh()  # pure DP
+    assert mesh.shape == {"data": 8, "model": 1}
+
+
+def test_tp_sharded_forward_matches_single_device(nano_model):
+    """The TP+DP sharded forward must produce the same logits as the
+    unsharded single-device run."""
+    from whisperx_tpu.models.whisper.model import encoder_forward
+
+    dims = nano_model.dims
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((4, 3000, dims.n_mels)), jnp.float32)
+
+    ref = np.asarray(
+        encoder_forward(nano_model.params, mel, dims.n_audio_head), np.float32
+    )
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = shard_params_tp(nano_model.params, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mel_sharded = jax.device_put(mel, NamedSharding(mesh, P("data", None, None)))
+    with use_mesh(mesh):
+        out = jax.jit(
+            lambda p, m: encoder_forward(p, m, dims.n_audio_head)
+        )(params, mel_sharded)
+        out = np.asarray(out, np.float32)
+    np.testing.assert_allclose(ref, out, atol=0.05, rtol=0.05)
+
+
+def test_dryrun_multichip_entrypoint():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)  # asserts internally

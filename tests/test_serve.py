@@ -1,0 +1,130 @@
+"""Serving layer tests: ring buffer, chunker, request queue, batcher."""
+
+import threading
+import time
+
+import numpy as np
+
+from whisperx_tpu.serve import (
+    AudioRingBuffer,
+    BatchConfig,
+    ContinuousBatcher,
+    DynamicBatchScheduler,
+    RequestQueue,
+    StreamingChunker,
+    StreamingConfig,
+    StreamingTranscriber,
+    TranscriptionRequest,
+    bucket_requests,
+)
+
+
+class FakePipeline:
+    def __init__(self):
+        self.calls = []
+
+    def transcribe(self, audio, batch_size=8, **kw):
+        self.calls.append(len(audio))
+        return {
+            "segments": [{"start": 0.0, "end": len(audio) / 16000, "text": "ok"}],
+            "language": "en",
+        }
+
+
+def test_ring_buffer_wraparound():
+    buf = AudioRingBuffer(100)
+    buf.write(np.arange(60, dtype=np.float32))
+    assert len(buf) == 60
+    out = buf.read(50)
+    assert out.tolist() == list(range(50))
+    buf.write(np.arange(100, 180, dtype=np.float32))  # wraps
+    assert len(buf) == 90
+    out = buf.read()
+    assert out[:10].tolist() == list(range(50, 60))
+    assert out[10:].tolist() == list(range(100, 180))
+
+
+def test_ring_buffer_overflow_keeps_newest():
+    buf = AudioRingBuffer(10)
+    buf.write(np.arange(25, dtype=np.float32))
+    assert buf.read().tolist() == list(range(15, 25))
+
+
+def test_ring_buffer_peek_does_not_consume():
+    buf = AudioRingBuffer(10)
+    buf.write(np.arange(5, dtype=np.float32))
+    assert buf.peek().tolist() == [0, 1, 2, 3, 4]
+    assert len(buf) == 5
+
+
+def test_request_queue_priority_order():
+    q = RequestQueue()
+    for prio, rid in [(5, "b"), (1, "a"), (9, "c")]:
+        q.put(
+            TranscriptionRequest(
+                priority=prio, seq=prio, audio=np.zeros(10), request_id=rid
+            )
+        )
+    batch = q.get_batch(3, 0.01)
+    assert [r.request_id for r in batch] == ["a", "b", "c"]
+
+
+def test_bucket_requests_by_duration():
+    reqs = [
+        TranscriptionRequest(0, i, audio=np.zeros(int(d * 16000)))
+        for i, d in enumerate([2.0, 8.0, 25.0, 3.0])
+    ]
+    buckets = bucket_requests(reqs, (5.0, 10.0, 20.0, 30.0))
+    durations = {
+        b: sorted(len(r.audio) / 16000 for r in rs) for b, rs in buckets.items()
+    }
+    assert durations[0] == [2.0, 3.0]
+    assert durations[1] == [8.0]
+    assert durations[3] == [25.0]
+
+
+def test_dynamic_batch_scheduler():
+    sched = DynamicBatchScheduler(BatchConfig(max_batch_size=8, min_batch_size=1))
+    assert sched.update(100) == 8
+    assert sched.update(0) == 1
+    assert sched.update(4) == 4
+
+
+def test_continuous_batcher_sync():
+    pipe = FakePipeline()
+    batcher = ContinuousBatcher(pipe, BatchConfig(max_wait_ms=5))
+    result = batcher.transcribe(np.zeros(16000, np.float32), timeout=10)
+    assert result["segments"][0]["text"] == "ok"
+    assert batcher.stats["requests"] == 1
+
+
+def test_continuous_batcher_threaded():
+    pipe = FakePipeline()
+    batcher = ContinuousBatcher(pipe, BatchConfig(max_wait_ms=5))
+    batcher.start()
+    reqs = [batcher.submit(np.zeros(8000, np.float32)) for _ in range(5)]
+    for r in reqs:
+        assert r.done.wait(timeout=20)
+    batcher.stop()
+    assert batcher.stats["requests"] >= 5
+
+
+def test_streaming_chunker_flushes_on_silence(speech_5s):
+    cfg = StreamingConfig(min_chunk_seconds=0.5, max_latency_seconds=60.0)
+    chunker = StreamingChunker(cfg)
+    audio = np.concatenate([speech_5s[:32000], np.zeros(16000, np.float32)])
+    chunks = chunker.push(audio)
+    assert len(chunks) == 1
+    assert len(chunks[0]) == len(audio)
+
+
+def test_streaming_transcriber_sync(speech_5s):
+    pipe = FakePipeline()
+    st = StreamingTranscriber(
+        pipe, StreamingConfig(min_chunk_seconds=0.5, max_latency_seconds=0.0)
+    )
+    st.feed(speech_5s[:16000])
+    st.process_available()
+    results = st.stop()
+    assert results
+    assert results[-1]["end"] > 0

@@ -1,0 +1,355 @@
+"""ASR pipeline: VAD segmentation + truly-batched Whisper decode.
+
+TPU-native redesign of reference whisperx/asr.py:19-275. The reference's
+"batch" backend is a pseudo-batch (sequential per-segment transcribe,
+mlx_simple.py:154-194); here VAD chunks are decoded as REAL device batches:
+
+  1. one log-mel over the whole file (the lightning trick,
+     mlx_lightning.py:162-217), sliced per merged VAD chunk;
+  2. chunks packed into fixed-size batches (padded — static shapes, one
+     XLA compile per batch size);
+  3. a single jitted decode per batch (encoder + prefill + while_loop);
+  4. temperature fallback re-batches only the failing chunks
+     (compression-ratio / logprob / no-speech gates per segment), instead
+     of the reference's per-segment sequential fallback.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from whisperx_tpu.audio import (
+    N_FRAMES,
+    SAMPLE_RATE,
+    load_audio,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
+from whisperx_tpu.decoding import DecodingOptions, decode, get_tokenizer
+from whisperx_tpu.decoding.decode import detect_language as _detect_language
+from whisperx_tpu.types import TranscriptionResult
+from whisperx_tpu.utils.languages import normalize_language
+from whisperx_tpu.vad import load_vad_model, merge_chunks
+
+DEFAULT_ASR_OPTIONS = {
+    "beam_size": None,
+    "best_of": None,
+    "patience": None,
+    "length_penalty": None,
+    "temperatures": (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    "compression_ratio_threshold": 2.4,
+    "log_prob_threshold": -1.0,
+    "no_speech_threshold": 0.6,
+    "condition_on_previous_text": False,
+    "initial_prompt": None,
+    "suppress_tokens": "-1",
+    "suppress_blank": True,
+    "without_timestamps": True,
+    "max_initial_timestamp": 1.0,
+    "word_timestamps": False,
+    "sample_len": None,  # max tokens per chunk (None = n_text_ctx // 2)
+    "suppress_numerals": False,
+}
+
+DEFAULT_VAD_OPTIONS = {
+    "chunk_size": 30,
+    "vad_onset": 0.500,
+    "vad_offset": 0.363,
+}
+
+
+@dataclass
+class TranscriptionPipeline:
+    """VAD → batched ASR pipeline (role of reference MLXWhisperPipeline)."""
+
+    model: object
+    vad_model: Optional[object] = None
+    asr_options: dict = field(default_factory=dict)
+    language: Optional[str] = None
+    task: str = "transcribe"
+    batch_size: int = 8
+
+    def __post_init__(self):
+        self.asr_options = {**DEFAULT_ASR_OPTIONS, **(self.asr_options or {})}
+
+    # ------------------------------------------------------------------
+
+    def detect_language(self, audio: np.ndarray) -> str:
+        mel = np.asarray(
+            log_mel_spectrogram(audio[: 30 * SAMPLE_RATE], self.model.dims.n_mels)
+        )
+        mel = np.asarray(pad_or_trim(mel, N_FRAMES, axis=-1), np.float32)
+        tok = get_tokenizer(
+            self.model.is_multilingual,
+            num_languages=self.model.num_languages,
+            vocab_path=self.model.vocab_path,
+        )
+        codes, _ = _detect_language(self.model, jnp.asarray(mel.T)[None], tok)
+        return codes[0]
+
+    # ------------------------------------------------------------------
+
+    def transcribe(
+        self,
+        audio: Union[str, np.ndarray],
+        batch_size: Optional[int] = None,
+        chunk_size: int = 30,
+        language: Optional[str] = None,
+        task: Optional[str] = None,
+        print_progress: bool = False,
+        combined_progress: bool = False,
+        verbose: bool = False,
+        **kwargs,
+    ) -> TranscriptionResult:
+        if isinstance(audio, str):
+            audio = load_audio(audio)
+        audio = np.asarray(audio, np.float32)
+        batch_size = batch_size or self.batch_size
+        language = normalize_language(language or self.language)
+        task = task or self.task
+
+        if self.vad_model is None:
+            # No VAD: full sequential seek-loop transcription.
+            from whisperx_tpu.decoding.transcribe import transcribe as seq_transcribe
+
+            opts = self._seq_options()
+            result = seq_transcribe(
+                model=self.model,
+                audio=audio,
+                language=language,
+                task=task,
+                verbose=verbose if verbose else None,
+                **opts,
+            )
+            return {
+                "segments": [
+                    {"start": s["start"], "end": s["end"], "text": s["text"]}
+                    for s in result["segments"]
+                ],
+                "language": result["language"],
+            }
+
+        chunks = self._segment_with_vad(audio, chunk_size)
+        if not chunks:
+            return {"segments": [], "language": language or "en"}
+
+        if language is None:
+            if self.model.is_multilingual:
+                first = chunks[0]
+                s0 = int(first["start"] * SAMPLE_RATE)
+                e0 = int(first["end"] * SAMPLE_RATE)
+                language = self.detect_language(audio[s0:e0])
+                if print_progress or verbose:
+                    print(f"Detected language: {language}")
+            else:
+                language = "en"
+
+        segments = self._transcribe_chunks(
+            audio,
+            chunks,
+            batch_size=batch_size,
+            language=language,
+            task=task,
+            print_progress=print_progress,
+            verbose=verbose,
+        )
+        return {"segments": segments, "language": language}
+
+    # ------------------------------------------------------------------
+
+    def _seq_options(self) -> dict:
+        o = self.asr_options
+        return {
+            "temperature": o["temperatures"],
+            "compression_ratio_threshold": o["compression_ratio_threshold"],
+            "logprob_threshold": o["log_prob_threshold"],
+            "no_speech_threshold": o["no_speech_threshold"],
+            "condition_on_previous_text": o["condition_on_previous_text"],
+            "initial_prompt": o["initial_prompt"],
+            "word_timestamps": o["word_timestamps"],
+            "beam_size": o["beam_size"],
+            "best_of": o["best_of"],
+            "suppress_tokens": o["suppress_tokens"],
+        }
+
+    def _segment_with_vad(self, audio: np.ndarray, chunk_size: float) -> List[dict]:
+        vad_segments = self.vad_model(
+            {"waveform": audio, "sample_rate": SAMPLE_RATE},
+            max_speech_duration_s=chunk_size,
+        )
+        if not vad_segments:
+            return []
+        onset = getattr(self.vad_model, "vad_onset", 0.5)
+        offset = getattr(self.vad_model, "vad_offset", 0.363)
+        return merge_chunks(vad_segments, chunk_size, onset=onset, offset=offset)
+
+    def _transcribe_chunks(
+        self,
+        audio: np.ndarray,
+        chunks: List[dict],
+        *,
+        batch_size: int,
+        language: str,
+        task: str,
+        print_progress: bool = False,
+        verbose: bool = False,
+    ) -> List[dict]:
+        o = self.asr_options
+        n_mels = self.model.dims.n_mels
+
+        # One mel per chunk, sliced from per-chunk audio (chunks are ≤30 s).
+        mels = np.zeros((len(chunks), N_FRAMES, n_mels), np.float32)
+        for i, ch in enumerate(chunks):
+            s = int(ch["start"] * SAMPLE_RATE)
+            e = int(ch["end"] * SAMPLE_RATE)
+            mel = np.asarray(log_mel_spectrogram(audio[s:e], n_mels))
+            mels[i, : min(mel.shape[1], N_FRAMES)] = mel.T[:N_FRAMES]
+
+        temperatures = list(o["temperatures"])
+        results: List[Optional[object]] = [None] * len(chunks)
+        pending = list(range(len(chunks)))
+
+        for t_idx, temperature in enumerate(temperatures):
+            if not pending:
+                break
+            opts = DecodingOptions(
+                task=task,
+                language=language,
+                temperature=temperature,
+                sample_len=o["sample_len"],
+                beam_size=o["beam_size"] if temperature == 0 else None,
+                best_of=o["best_of"] if temperature > 0 else None,
+                patience=o["patience"] if temperature == 0 else None,
+                length_penalty=o["length_penalty"],
+                prompt=(
+                    self.model_prompt(o["initial_prompt"]) if o["initial_prompt"] else None
+                ),
+                suppress_tokens=o["suppress_tokens"],
+                suppress_blank=o["suppress_blank"],
+                without_timestamps=o["without_timestamps"],
+                max_initial_timestamp=o["max_initial_timestamp"],
+            )
+            still_pending = []
+            for base in range(0, len(pending), batch_size):
+                idxs = pending[base : base + batch_size]
+                batch = np.zeros((batch_size, N_FRAMES, n_mels), np.float32)
+                batch[: len(idxs)] = mels[idxs]
+                batch_results = decode(self.model, jnp.asarray(batch), opts)
+                for j, idx in enumerate(idxs):
+                    r = batch_results[j]
+                    if t_idx < len(temperatures) - 1 and self._needs_fallback(r):
+                        still_pending.append(idx)
+                    else:
+                        results[idx] = r
+                if print_progress:
+                    done = len(chunks) - len(pending) + base + len(idxs)
+                    print(f"Progress: {min(100, 100 * done // len(chunks))}%...")
+            pending = still_pending
+
+        segments = []
+        for idx, (ch, r) in enumerate(zip(chunks, results)):
+            if r is None:
+                continue
+            if (
+                o["no_speech_threshold"] is not None
+                and r.no_speech_prob > o["no_speech_threshold"]
+                and (
+                    o["log_prob_threshold"] is None
+                    or r.avg_logprob < o["log_prob_threshold"]
+                )
+            ):
+                continue  # silent chunk
+            text = r.text.strip()
+            if not text:
+                continue
+            if verbose:
+                print(f"[{ch['start']:.2f} --> {ch['end']:.2f}] {text}")
+            segments.append({"start": round(ch["start"], 3), "end": round(ch["end"], 3), "text": text})
+        return segments
+
+    def _needs_fallback(self, r) -> bool:
+        o = self.asr_options
+        crt = o["compression_ratio_threshold"]
+        lpt = o["log_prob_threshold"]
+        nst = o["no_speech_threshold"]
+        if nst is not None and r.no_speech_prob > nst:
+            return False  # silence: no point retrying hotter
+        if crt is not None and np.isfinite(r.compression_ratio) and r.compression_ratio > crt:
+            return True
+        if lpt is not None and r.avg_logprob < lpt:
+            return True
+        return False
+
+    def model_prompt(self, initial_prompt: str):
+        tok = get_tokenizer(
+            self.model.is_multilingual,
+            num_languages=self.model.num_languages,
+            vocab_path=self.model.vocab_path,
+        )
+        return tok.encode(" " + initial_prompt.strip())
+
+
+def load_model(
+    whisper_arch: str,
+    device: str = "tpu",
+    device_index: int = 0,
+    compute_type: str = "bfloat16",
+    asr_options: Optional[dict] = None,
+    language: Optional[str] = None,
+    vad_method: Optional[str] = "silero",
+    vad_options: Optional[dict] = None,
+    task: str = "transcribe",
+    download_root: Optional[str] = None,
+    local_files_only: bool = False,
+    threads: int = 4,
+    backend: str = "auto",
+    batch_size: int = 8,
+    **kwargs,
+) -> TranscriptionPipeline:
+    """Load a Whisper pipeline (API parity: reference asr.py:150-275).
+
+    ``compute_type``: bfloat16 (default) / float32 / float16 (mapped to
+    bfloat16 on TPU) / int8 / int4 (weight-only quantized decode).
+    """
+    from whisperx_tpu.models.whisper import load_model as load_whisper
+
+    dtype_map = {
+        "bfloat16": jnp.bfloat16,
+        "float16": jnp.bfloat16,  # fp16 has no TPU advantage; bf16 is native
+        "float32": jnp.float32,
+    }
+    quantization = None
+    if compute_type in ("int8", "int4"):
+        quantization = compute_type
+        dtype = jnp.bfloat16
+    else:
+        dtype = dtype_map.get(compute_type, jnp.bfloat16)
+
+    model = load_whisper(whisper_arch, dtype=dtype)
+    if quantization is not None:
+        from whisperx_tpu.quant import quantize_model
+
+        model = quantize_model(model, mode=quantization)
+
+    vad_model = None
+    if vad_method and vad_method != "none":
+        opts = {**DEFAULT_VAD_OPTIONS, **(vad_options or {})}
+        vad_model = load_vad_model(
+            vad_method,
+            vad_onset=opts["vad_onset"],
+            vad_offset=opts["vad_offset"],
+            chunk_size=opts["chunk_size"],
+        )
+
+    return TranscriptionPipeline(
+        model=model,
+        vad_model=vad_model,
+        asr_options=asr_options,
+        language=normalize_language(language),
+        task=task,
+        batch_size=batch_size,
+    )

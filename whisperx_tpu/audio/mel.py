@@ -1,0 +1,150 @@
+"""Log-mel spectrogram front end, TPU-native.
+
+Numerical contract (reference whisperx/audio.py:94-159):
+  hann(400, periodic) STFT with hop 160, center=True reflect padding,
+  drop the final frame, |.|^2, slaney mel filterbank (librosa-compatible,
+  computed here from the closed form instead of shipping an .npz),
+  log10 clamped at 1e-10, dynamic-range floor at (max - 8), then (x+4)/4.
+
+TPU-native design: rather than an FFT op, the windowed DFT is expressed as a
+single strided 1-D convolution with 2*(n_fft//2+1) output channels (cos and
+sin banks). XLA lowers this onto the MXU and fuses the squared-magnitude,
+mel projection, and log/normalize epilogue — one pass over HBM, no
+host-side torch.stft (reference audio.py:149-158).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperx_tpu.audio.constants import HOP_LENGTH, N_FFT, SAMPLE_RATE
+
+
+def _hz_to_mel(freq: np.ndarray | float) -> np.ndarray:
+    """Slaney-scale hz→mel (librosa default, htk=False)."""
+    freq = np.asarray(freq, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = freq / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = freq >= min_log_hz
+    mels = np.where(
+        log_region,
+        min_log_mel + np.log(np.maximum(freq, min_log_hz) / min_log_hz) / logstep,
+        mels,
+    )
+    return mels
+
+
+def _mel_to_hz(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = mels * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = mels >= min_log_mel
+    freqs = np.where(
+        log_region, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs
+    )
+    return freqs
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filters(n_mels: int, sr: int = SAMPLE_RATE, n_fft: int = N_FFT) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank, shape (n_mels, n_fft//2 + 1).
+
+    Equivalent to ``librosa.filters.mel(sr=16000, n_fft=400, n_mels=n_mels)``
+    — the matrix the reference ships as ``assets/mel_filters.npz``
+    (whisperx/audio.py:96-113); here it is computed from the closed form.
+    """
+    n_freqs = 1 + n_fft // 2
+    fftfreqs = np.linspace(0, sr / 2, n_freqs)
+    mel_pts = np.linspace(_hz_to_mel(0.0), _hz_to_mel(sr / 2.0), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fftfreqs[None, :]
+
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+
+    # Slaney normalization: each filter integrates to ~equal area.
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_conv_kernel(n_fft: int = N_FFT) -> np.ndarray:
+    """Windowed DFT as a conv kernel, shape (2*(n_fft//2+1), 1, n_fft).
+
+    Channels [0, F) are the hann-windowed cosine bank, [F, 2F) the sine bank,
+    so one strided conv yields both real and imaginary STFT parts.
+    """
+    n_freqs = 1 + n_fft // 2
+    n = np.arange(n_fft)
+    # periodic hann window (torch.hann_window default)
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))
+    k = np.arange(n_freqs)[:, None]
+    angles = 2.0 * np.pi * k * n[None, :] / n_fft
+    cos_bank = (np.cos(angles) * window[None, :]).astype(np.float32)
+    sin_bank = (-np.sin(angles) * window[None, :]).astype(np.float32)
+    return np.concatenate([cos_bank, sin_bank], axis=0)[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels", "padding"))
+def _log_mel_jit(audio: jnp.ndarray, n_mels: int, padding: int) -> jnp.ndarray:
+    if padding > 0:
+        audio = jnp.pad(audio, (0, padding))
+    half = N_FFT // 2
+    # center=True reflect padding, matching torch.stft
+    audio = jnp.pad(audio, (half, half), mode="reflect")
+    # torch.stft yields 1 + L//hop frames; the reference drops the last one
+    # (audio.py:150), leaving exactly L // hop frames.
+    n_frames = (audio.shape[-1] - N_FFT) // HOP_LENGTH + 1
+
+    kernel = jnp.asarray(_dft_conv_kernel())
+    out = jax.lax.conv_general_dilated(
+        audio[None, None, :],  # (N=1, C=1, L)
+        kernel,  # (O, I, W)
+        window_strides=(HOP_LENGTH,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        # full f32 accuracy: the MXU's default bf16 multiply loses ~1e-3
+        # relative, which log10 amplifies in near-silent mel bins
+        precision=jax.lax.Precision.HIGHEST,
+    )[0]  # (2F, T_full)
+    n_freqs = 1 + half
+    out = out[:, : n_frames - 1]  # drop final frame
+    magnitudes = out[:n_freqs] ** 2 + out[n_freqs:] ** 2  # (F, T)
+
+    filters = jnp.asarray(mel_filters(n_mels))
+    mel_spec = filters @ magnitudes  # (n_mels, T)
+
+    log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
+    log_spec = jnp.maximum(log_spec, log_spec.max() - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
+def log_mel_spectrogram(
+    audio, n_mels: int = 80, padding: int = 0
+) -> jnp.ndarray:
+    """Compute the log-mel spectrogram, shape (n_mels, n_frames).
+
+    ``audio`` may be a file path, numpy array, or JAX array of 16 kHz mono
+    samples. One jitted program handles any length (recompiled per distinct
+    length; callers should pad to standard chunk sizes for cache hits).
+    """
+    if isinstance(audio, str):
+        from whisperx_tpu.audio.io import load_audio
+
+        audio = load_audio(audio)
+    audio = jnp.asarray(audio, dtype=jnp.float32)
+    return _log_mel_jit(audio, n_mels, padding)

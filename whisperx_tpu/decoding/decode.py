@@ -1,0 +1,365 @@
+"""Batched autoregressive decoding for Whisper on TPU.
+
+Replaces ``mlx_whisper.decoding`` (contract: SURVEY.md §2.9 rows 4-6) and
+productionizes the reference's experimental true-batch decoder
+(mlx_whisper_batch_decoder.py:317-468). TPU-native design:
+
+  - the whole generate loop is ONE jitted program: encoder → cross-KV →
+    prefill → ``lax.while_loop`` over decode steps with per-sequence EOT
+    masking — no host round-trips per token;
+  - all shapes static: token buffer [B, n_text_ctx], preallocated KV cache,
+    padded batches (callers bucket batch sizes to avoid recompiles);
+  - logit filters (whisperx_tpu.decoding.filters) run inside the loop in f32;
+  - finished rows keep "decoding" EOT into masked slots instead of being
+    gathered out — on TPU the wasted lanes are far cheaper than dynamic
+    shapes (contrast reference's active-row extract/scatter at
+    mlx_whisper_batch_decoder.py:64-100).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperx_tpu.decoding import filters as F
+from whisperx_tpu.models.whisper.model import (
+    KVCache,
+    decoder_forward,
+    encoder_forward,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+from whisperx_tpu.utils.text import compression_ratio
+
+
+@dataclass(frozen=True)
+class DecodingOptions:
+    """Parity with mlx_whisper / OpenAI Whisper DecodingOptions."""
+
+    task: str = "transcribe"
+    language: Optional[str] = None
+    temperature: float = 0.0
+    sample_len: Optional[int] = None
+    best_of: Optional[int] = None
+    beam_size: Optional[int] = None
+    patience: Optional[float] = None
+    length_penalty: Optional[float] = None
+    prompt: Optional[Union[str, Sequence[int]]] = None
+    prefix: Optional[Union[str, Sequence[int]]] = None
+    suppress_tokens: Optional[Union[str, Sequence[int]]] = "-1"
+    suppress_blank: bool = True
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+    fp16: bool = True
+
+
+@dataclass
+class DecodingResult:
+    audio_features: Optional[jnp.ndarray]
+    language: str
+    language_probs: Optional[dict] = None
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    text: str = ""
+    avg_logprob: float = np.nan
+    no_speech_prob: float = np.nan
+    temperature: float = np.nan
+    compression_ratio: float = np.nan
+
+
+@dataclass(frozen=True)
+class _StaticConfig:
+    """Hashable static decode configuration (jit cache key)."""
+
+    n_head: int
+    n_text_ctx: int
+    eot: int
+    sot_index: int
+    no_speech_token: int
+    timestamp_begin: int
+    no_timestamps: int
+    sample_len: int
+    max_initial_timestamp_index: Optional[int]
+    blank_tokens: Tuple[int, ...]
+    suppress: Tuple[int, ...]
+    without_timestamps: bool
+    greedy: bool
+
+
+def _apply_filters(logits, state, cfg: _StaticConfig):
+    logits = logits.astype(jnp.float32)
+    logits = F.suppress_blank(logits, state, cfg.blank_tokens, cfg.eot)
+    logits = F.suppress_tokens(logits, cfg.suppress)
+    if not cfg.without_timestamps:
+        logits = F.apply_timestamp_rules(
+            logits,
+            state,
+            timestamp_begin=cfg.timestamp_begin,
+            eot=cfg.eot,
+            no_timestamps=cfg.no_timestamps,
+            max_initial_timestamp_index=cfg.max_initial_timestamp_index,
+        )
+    return logits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    donate_argnames=(),
+)
+def _decode_jit(params, mel, initial_tokens, rng, temperature, cfg: _StaticConfig):
+    """Full batched decode. Returns (tokens [B, sample_len], lengths [B],
+    sum_logprobs [B], no_speech_probs [B])."""
+    b = mel.shape[0]
+    n_init = initial_tokens.shape[1]
+
+    audio_features = encoder_forward(params, mel, cfg.n_head)
+    cross_k, cross_v = precompute_cross_kv(params, audio_features, cfg.n_head)
+    self_k, self_v = init_kv_cache_like(params, b, cfg)
+    cache = KVCache(self_k, self_v, cross_k, cross_v)
+
+    logits, cache, _ = decoder_forward(
+        params, initial_tokens, cache, jnp.int32(0), cfg.n_head
+    )
+    probs_at_sot = jax.nn.softmax(logits[:, cfg.sot_index].astype(jnp.float32), -1)
+    no_speech_probs = probs_at_sot[:, cfg.no_speech_token]
+    last_logits = logits[:, -1]
+
+    state = F.init_filter_state(initial_tokens)
+    tokens_buf = jnp.full((b, cfg.sample_len), cfg.eot, jnp.int32)
+    finished = jnp.zeros((b,), bool)
+    sum_logprobs = jnp.zeros((b,), jnp.float32)
+    n_sampled = jnp.int32(0)
+
+    def cond(carry):
+        _, _, finished, _, n_sampled, *_ = carry
+        return (~jnp.all(finished)) & (n_sampled < cfg.sample_len)
+
+    def body(carry):
+        tokens_buf, last_logits, finished, sum_logprobs, n_sampled, state, cache, rng = carry
+        logits = _apply_filters(last_logits, state, cfg)
+        if cfg.greedy:
+            sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            rng, sub = jax.random.split(rng)
+            sampled = jax.random.categorical(sub, logits / temperature).astype(
+                jnp.int32
+            )
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        step_lp = jnp.take_along_axis(logprobs, sampled[:, None], axis=-1)[:, 0]
+        sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, step_lp)
+        sampled = jnp.where(finished, cfg.eot, sampled)
+        tokens_buf = jax.lax.dynamic_update_slice(
+            tokens_buf, sampled[:, None], (0, n_sampled)
+        )
+        finished = finished | (sampled == cfg.eot)
+        state = F.update_filter_state(state, sampled, cfg.timestamp_begin)
+        new_logits, cache, _ = decoder_forward(
+            params, sampled[:, None], cache, n_init + n_sampled, cfg.n_head
+        )
+        return (
+            tokens_buf,
+            new_logits[:, -1],
+            finished,
+            sum_logprobs,
+            n_sampled + 1,
+            state,
+            cache,
+            rng,
+        )
+
+    carry = (tokens_buf, last_logits, finished, sum_logprobs, n_sampled, state, cache, rng)
+    tokens_buf, _, _, sum_logprobs, n_sampled, *_ = jax.lax.while_loop(
+        cond, body, carry
+    )
+    lengths = jnp.argmax(tokens_buf == cfg.eot, axis=-1)
+    # Rows that never emitted EOT ran the full sample_len.
+    hit_eot = jnp.any(tokens_buf == cfg.eot, axis=-1)
+    lengths = jnp.where(hit_eot, lengths, cfg.sample_len)
+    return tokens_buf, lengths, sum_logprobs, no_speech_probs, audio_features
+
+
+def init_kv_cache_like(params, batch, cfg: _StaticConfig):
+    dec = params["decoder"]
+    n_layer = len(dec["blocks"])
+    d = dec["tok_emb"].shape[1]
+    h = cfg.n_head
+    dtype = dec["tok_emb"].dtype
+    shape = (n_layer, batch, cfg.n_text_ctx, h, d // h)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "sot", "lang_tokens"))
+def _detect_language_jit(params, mel, n_head, sot, lang_tokens):
+    b = mel.shape[0]
+    audio_features = encoder_forward(params, mel, n_head)
+    cross_k, cross_v = precompute_cross_kv(params, audio_features, n_head)
+    n_layer = cross_k.shape[0]
+    d = params["decoder"]["tok_emb"].shape[1]
+    n_ctx = params["decoder"]["pos_emb"].shape[0]
+    dtype = params["decoder"]["tok_emb"].dtype
+    shape = (n_layer, b, n_ctx, n_head, d // n_head)
+    cache = KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), cross_k, cross_v)
+    tokens = jnp.full((b, 1), sot, jnp.int32)
+    logits, _, _ = decoder_forward(params, tokens, cache, jnp.int32(0), n_head)
+    logits = logits[:, 0].astype(jnp.float32)
+    mask = jnp.full((logits.shape[-1],), -jnp.inf)
+    mask = mask.at[jnp.asarray(lang_tokens)].set(0.0)
+    return jax.nn.softmax(logits + mask, axis=-1)
+
+
+def detect_language(model, mel: jnp.ndarray, tokenizer) -> Tuple[list, list]:
+    """Language id per batch row: returns (codes, prob dicts).
+
+    Parity: mlx_whisper DecodingTask._detect_language (SURVEY.md §2.9).
+    """
+    if mel.ndim == 2:
+        mel = mel[None]
+    lang_tokens = tuple(tokenizer.all_language_tokens)
+    probs = _detect_language_jit(
+        model.params, mel, model.dims.n_audio_head, tokenizer.sot, lang_tokens
+    )
+    probs = np.asarray(probs)
+    codes, prob_dicts = [], []
+    for row in probs:
+        best = int(row.argmax())
+        codes.append(tokenizer.language_code_of(best))
+        prob_dicts.append(
+            {
+                tokenizer.language_code_of(t): float(row[t])
+                for t in lang_tokens
+            }
+        )
+    return codes, prob_dicts
+
+
+def _build_initial_tokens(tokenizer, options: DecodingOptions) -> List[int]:
+    tokens = list(tokenizer.sot_sequence)
+    if options.without_timestamps:
+        tokens = list(tokenizer.sot_sequence_including_notimestamps)
+    if options.prefix is not None:
+        prefix = (
+            tokenizer.encode(" " + options.prefix.strip())
+            if isinstance(options.prefix, str)
+            else list(options.prefix)
+        )
+        tokens = tokens + prefix
+    if options.prompt is not None:
+        prompt = (
+            tokenizer.encode(" " + options.prompt.strip())
+            if isinstance(options.prompt, str)
+            else list(options.prompt)
+        )
+        n_ctx_half = 448 // 2 - 1
+        tokens = [tokenizer.sot_prev] + prompt[-n_ctx_half:] + tokens
+    return tokens
+
+
+def decode(
+    model,
+    mel: jnp.ndarray,
+    options: DecodingOptions = DecodingOptions(),
+    *,
+    tokenizer=None,
+    rng: Optional[jax.Array] = None,
+) -> Union[DecodingResult, List[DecodingResult]]:
+    """Decode 30 s mel segment(s). ``mel``: [T, n_mels] or [B, T, n_mels].
+
+    API parity with ``mlx_whisper.decoding.decode`` as used at reference
+    backends/mlx_lightning.py:187-196, generalized to true batching.
+    """
+    single = mel.ndim == 2
+    if single:
+        mel = mel[None]
+    b = mel.shape[0]
+
+    if tokenizer is None:
+        from whisperx_tpu.decoding.tokenizer import get_tokenizer
+
+        tokenizer = get_tokenizer(
+            model.is_multilingual,
+            num_languages=model.dims.num_languages,
+            language=options.language or "en",
+            task=options.task,
+        )
+
+    language = options.language
+    language_probs = [None] * b
+    if model.is_multilingual and language is None:
+        codes, probs = detect_language(model, mel, tokenizer)
+        # A single language per batch (whisper semantics: per-segment
+        # language comes from the SOT sequence; take the majority).
+        language = max(set(codes), key=codes.count)
+        language_probs = probs
+        tokenizer = dataclasses.replace(tokenizer, language=language)
+        tokenizer.__post_init__()
+    language = language or "en"
+
+    initial = _build_initial_tokens(tokenizer, options)
+    initial_arr = jnp.tile(jnp.asarray(initial, jnp.int32)[None], (b, 1))
+    sot_index = initial.index(tokenizer.sot)
+
+    n_ctx = model.dims.n_text_ctx
+    sample_len = options.sample_len or n_ctx // 2
+    precision = 0.02
+    max_initial_ts_index = None
+    if options.max_initial_timestamp is not None:
+        max_initial_ts_index = round(options.max_initial_timestamp / precision)
+
+    blank = tuple(tokenizer.encode(" "))
+    cfg = _StaticConfig(
+        n_head=model.dims.n_text_head,
+        n_text_ctx=n_ctx,
+        eot=tokenizer.eot,
+        sot_index=sot_index,
+        no_speech_token=tokenizer.no_speech,
+        timestamp_begin=tokenizer.timestamp_begin,
+        no_timestamps=tokenizer.no_timestamps,
+        sample_len=min(sample_len, n_ctx - len(initial)),
+        max_initial_timestamp_index=max_initial_ts_index,
+        blank_tokens=blank if options.suppress_blank else (),
+        suppress=F.build_suppress_list(tokenizer, options.suppress_tokens),
+        without_timestamps=options.without_timestamps,
+        greedy=options.temperature == 0,
+    )
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    tokens_buf, lengths, sum_logprobs, no_speech_probs, audio_features = _decode_jit(
+        model.params,
+        mel.astype(model.dtype),
+        initial_arr,
+        rng,
+        jnp.float32(max(options.temperature, 1e-6)),
+        cfg,
+    )
+
+    tokens_np = np.asarray(tokens_buf)
+    lengths_np = np.asarray(lengths)
+    sum_lp = np.asarray(sum_logprobs)
+    nsp = np.asarray(no_speech_probs)
+
+    results = []
+    for i in range(b):
+        toks = tokens_np[i, : lengths_np[i]].tolist()
+        text = tokenizer.decode(toks).strip()
+        avg_lp = float(sum_lp[i] / (lengths_np[i] + 1))
+        results.append(
+            DecodingResult(
+                audio_features=audio_features[i],
+                language=language,
+                language_probs=language_probs[i],
+                tokens=toks,
+                text=text,
+                avg_logprob=avg_lp,
+                no_speech_prob=float(nsp[i]),
+                temperature=options.temperature,
+                compression_ratio=compression_ratio(text) if text else np.nan,
+            )
+        )
+    return results[0] if single else results

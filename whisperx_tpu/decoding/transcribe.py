@@ -1,0 +1,338 @@
+"""Whisper transcription: 30 s seek loop with temperature fallback.
+
+Re-implements the unvendored ``mlx_whisper.transcribe`` contract the
+reference calls per segment (SURVEY.md §2.9 row 1; option surface pinned at
+backends/mlx_whisper.py:72-99) from OpenAI Whisper semantics:
+
+  - one log-mel for the whole file, sliced per 30 s window (the reference's
+    "lightning" trick, mlx_lightning.py:162-217 — native here);
+  - temperature-fallback ladder gated on compression-ratio / avg-logprob;
+  - no-speech gating, condition_on_previous_text with reset at T>0.5;
+  - timestamp-token parsing into sub-segments and seek advancement;
+  - optional DTW word timestamps + hallucination-silence skipping.
+
+Returns ``{"text", "segments": [{id, seek, start, end, text, tokens,
+temperature, avg_logprob, compression_ratio, no_speech_prob}], "language"}``
+(field shape per the gold 30m.json artifact).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from whisperx_tpu.audio import (
+    FRAMES_PER_SECOND,
+    HOP_LENGTH,
+    N_FRAMES,
+    N_SAMPLES,
+    SAMPLE_RATE,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
+from whisperx_tpu.decoding.decode import DecodingOptions, DecodingResult, decode
+from whisperx_tpu.decoding.tokenizer import get_tokenizer
+from whisperx_tpu.utils.languages import normalize_language
+
+
+def _decode_with_fallback(
+    model, mel, options: DecodingOptions, temperatures, thresholds
+) -> DecodingResult:
+    compression_ratio_threshold, logprob_threshold = thresholds
+    result = None
+    for t in temperatures:
+        opts = DecodingOptions(
+            **{
+                **options.__dict__,
+                "temperature": t,
+                # beam/patience apply only at t==0; best_of only at t>0
+                "beam_size": options.beam_size if t == 0 else None,
+                "patience": options.patience if t == 0 else None,
+                "best_of": options.best_of if t > 0 else None,
+            }
+        )
+        result = decode(model, mel, opts)
+        needs_fallback = False
+        if (
+            compression_ratio_threshold is not None
+            and result.compression_ratio > compression_ratio_threshold
+        ):
+            needs_fallback = True
+        if (
+            logprob_threshold is not None
+            and result.avg_logprob < logprob_threshold
+        ):
+            needs_fallback = True
+        if not needs_fallback:
+            break
+    return result
+
+
+def transcribe(
+    model,
+    audio: Union[str, np.ndarray],
+    *,
+    verbose: Optional[bool] = None,
+    temperature: Union[float, Sequence[float]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    condition_on_previous_text: bool = True,
+    initial_prompt: Optional[str] = None,
+    word_timestamps: bool = False,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    hallucination_silence_threshold: Optional[float] = None,
+    language: Optional[str] = None,
+    task: str = "transcribe",
+    **decode_options,
+) -> dict:
+    if isinstance(audio, str):
+        from whisperx_tpu.audio import load_audio
+
+        audio = load_audio(audio)
+    audio = np.asarray(audio, np.float32)
+
+    mel_full = np.asarray(
+        log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
+    )
+    content_frames = mel_full.shape[-1] - N_FRAMES
+    content_duration = content_frames * HOP_LENGTH / SAMPLE_RATE
+
+    language = normalize_language(language)
+    if language is None:
+        if not model.is_multilingual:
+            language = "en"
+        else:
+            from whisperx_tpu.decoding.decode import detect_language
+
+            tok0 = get_tokenizer(
+                True, num_languages=model.num_languages, vocab_path=model.vocab_path
+            )
+            head = pad_or_trim(
+                jnp.asarray(mel_full[:, :N_FRAMES].T)[None], N_FRAMES, axis=1
+            )
+            codes, _ = detect_language(model, head, tok0)
+            language = codes[0]
+            if verbose:
+                print(f"Detected language: {language}")
+
+    tokenizer = get_tokenizer(
+        model.is_multilingual,
+        num_languages=model.num_languages,
+        language=language,
+        task=task,
+        vocab_path=model.vocab_path,
+    )
+
+    if isinstance(temperature, (int, float)):
+        temperatures = [float(temperature)]
+    else:
+        temperatures = list(temperature)
+
+    time_precision = 0.02
+    input_stride = 2  # mel frames per audio token
+    time_per_frame = HOP_LENGTH / SAMPLE_RATE
+
+    all_tokens: List[int] = []
+    all_segments: List[dict] = []
+    prompt_reset_since = 0
+    if initial_prompt is not None:
+        initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
+        all_tokens.extend(initial_prompt_tokens)
+    else:
+        initial_prompt_tokens = []
+
+    seek = 0
+    last_speech_timestamp = 0.0
+
+    def new_segment(start, end, tokens, result: DecodingResult):
+        tokens = [t for t in tokens]
+        text_tokens = [t for t in tokens if t < tokenizer.eot]
+        return {
+            "seek": seek,
+            "start": start,
+            "end": end,
+            "text": tokenizer.decode(text_tokens),
+            "tokens": tokens,
+            "temperature": result.temperature,
+            "avg_logprob": result.avg_logprob,
+            "compression_ratio": result.compression_ratio,
+            "no_speech_prob": result.no_speech_prob,
+        }
+
+    base_opts = {
+        k: v
+        for k, v in decode_options.items()
+        if k in DecodingOptions.__dataclass_fields__
+        and k not in ("temperature", "prompt", "language", "task")
+    }
+
+    while seek < content_frames:
+        time_offset = seek * time_per_frame
+        mel_segment = mel_full[:, seek : seek + N_FRAMES]
+        segment_size = min(N_FRAMES, content_frames - seek)
+        segment_duration = segment_size * time_per_frame
+        mel_segment = np.asarray(
+            pad_or_trim(mel_segment, N_FRAMES, axis=-1), np.float32
+        )
+        mel_in = jnp.asarray(mel_segment.T)  # [T, n_mels]
+
+        prompt = all_tokens[prompt_reset_since:] if condition_on_previous_text or initial_prompt else (initial_prompt_tokens or None)
+        options = DecodingOptions(
+            task=task,
+            language=language,
+            prompt=list(prompt) if prompt else None,
+            **base_opts,
+        )
+        result = _decode_with_fallback(
+            model,
+            mel_in,
+            options,
+            temperatures,
+            (compression_ratio_threshold, logprob_threshold),
+        )
+        tokens = np.asarray(result.tokens)
+
+        if no_speech_threshold is not None:
+            should_skip = result.no_speech_prob > no_speech_threshold
+            if (
+                logprob_threshold is not None
+                and result.avg_logprob > logprob_threshold
+            ):
+                # confident text despite no_speech: don't skip
+                should_skip = False
+            if should_skip:
+                seek += segment_size
+                continue
+
+        previous_seek = seek
+        current_segments: List[dict] = []
+
+        timestamp_tokens = tokens >= tokenizer.timestamp_begin
+        single_timestamp_ending = (
+            len(timestamp_tokens) >= 2
+            and bool(timestamp_tokens[-1])
+            and not bool(timestamp_tokens[-2])
+        ) or (len(timestamp_tokens) == 1 and bool(timestamp_tokens[-1]))
+
+        consecutive = (
+            np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
+        )
+        if len(consecutive) > 0:
+            slices = consecutive.tolist()
+            if single_timestamp_ending:
+                slices.append(len(tokens))
+            last_slice = 0
+            for current_slice in slices:
+                sliced = tokens[last_slice:current_slice]
+                start_pos = int(sliced[0]) - tokenizer.timestamp_begin
+                end_pos = int(sliced[-1]) - tokenizer.timestamp_begin
+                current_segments.append(
+                    new_segment(
+                        time_offset + start_pos * time_precision,
+                        time_offset + end_pos * time_precision,
+                        sliced.tolist(),
+                        result,
+                    )
+                )
+                last_slice = current_slice
+            if single_timestamp_ending:
+                seek += segment_size
+            else:
+                last_ts_pos = int(tokens[last_slice - 1]) - tokenizer.timestamp_begin
+                seek += last_ts_pos * input_stride
+        else:
+            duration = segment_duration
+            ts = tokens[timestamp_tokens]
+            if len(ts) > 0 and int(ts[-1]) != tokenizer.timestamp_begin:
+                duration = (
+                    int(ts[-1]) - tokenizer.timestamp_begin
+                ) * time_precision
+            current_segments.append(
+                new_segment(
+                    time_offset, time_offset + duration, tokens.tolist(), result
+                )
+            )
+            seek += segment_size
+
+        if word_timestamps:
+            from whisperx_tpu.timing import add_word_timestamps
+
+            add_word_timestamps(
+                segments=current_segments,
+                model=model,
+                tokenizer=tokenizer,
+                mel=mel_in,
+                num_frames=segment_size,
+                prepend_punctuations=prepend_punctuations,
+                append_punctuations=append_punctuations,
+                last_speech_timestamp=last_speech_timestamp,
+            )
+            if current_segments:
+                word_end_timestamps = [
+                    w["end"]
+                    for s in current_segments
+                    for w in s.get("words", [])
+                ]
+                if len(word_end_timestamps) > 0:
+                    last_speech_timestamp = word_end_timestamps[-1]
+                if not single_timestamp_ending and len(word_end_timestamps) > 0:
+                    seek_shift = round(
+                        (word_end_timestamps[-1] - time_offset) * FRAMES_PER_SECOND
+                    )
+                    if seek_shift > 0:
+                        seek = previous_seek + seek_shift
+
+            if hallucination_silence_threshold is not None:
+                threshold = hallucination_silence_threshold
+                kept = []
+                for segment in current_segments:
+                    if _seems_hallucination(segment):
+                        gap_before = segment["start"] - (
+                            kept[-1]["end"] if kept else last_speech_timestamp
+                        )
+                        if gap_before > threshold:
+                            continue
+                    kept.append(segment)
+                current_segments = kept
+
+        if verbose:
+            for segment in current_segments:
+                print(
+                    f"[{segment['start']:.2f} --> {segment['end']:.2f}] "
+                    f"{segment['text']}"
+                )
+
+        for segment in current_segments:
+            if segment["start"] == segment["end"] or not segment["text"].strip():
+                segment["text"] = ""
+                segment["tokens"] = []
+                segment["words"] = []
+        all_segments.extend(
+            {"id": i, **seg}
+            for i, seg in enumerate(current_segments, start=len(all_segments))
+        )
+        all_tokens.extend(
+            t for seg in current_segments for t in seg["tokens"] if t < tokenizer.eot
+        )
+        if not condition_on_previous_text or result.temperature > 0.5:
+            prompt_reset_since = len(all_tokens)
+
+    all_segments = [s for s in all_segments if s["text"]]
+    return {
+        "text": "".join(s["text"] for s in all_segments),
+        "segments": all_segments,
+        "language": language,
+    }
+
+
+def _seems_hallucination(segment: dict) -> bool:
+    """Word-probability heuristic from Whisper's hallucination skipping."""
+    words = segment.get("words", [])
+    if not words:
+        return False
+    scores = [w.get("probability", w.get("score", 1.0)) for w in words]
+    return float(np.mean(scores)) < 0.3

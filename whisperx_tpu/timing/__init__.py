@@ -1,0 +1,292 @@
+"""Word-level timestamps from cross-attention alignment heads.
+
+Replaces ``mlx_whisper.timing.add_word_timestamps`` (contract pinned at
+reference mlx_ultra_optimized_batch.py:155-162 and
+mlx_whisper_optimized_final.py:184-232): teacher-forced forward capturing
+cross-attention QK at the alignment heads, temperature-sharpened softmax
+over the live frames, per-token z-norm, median filter (width 7), DTW on the
+negated matrix, then token→word grouping with punctuation merging and the
+duration-anomaly heuristics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from whisperx_tpu.audio.constants import (
+    HOP_LENGTH,
+    N_FRAMES,
+    SAMPLE_RATE,
+    TOKENS_PER_SECOND,
+)
+from whisperx_tpu.models.whisper.model import (
+    KVCache,
+    decoder_forward,
+    encoder_forward,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+from whisperx_tpu.timing.dtw import dtw, median_filter
+
+MEDFILT_WIDTH = 7
+QK_SCALE = 1.0
+
+
+@dataclass
+class WordTiming:
+    word: str
+    tokens: List[int]
+    start: float
+    end: float
+    probability: float
+
+
+def find_alignment(
+    model,
+    tokenizer,
+    text_tokens: List[int],
+    mel: jnp.ndarray,
+    num_frames: int,
+    *,
+    medfilt_width: int = MEDFILT_WIDTH,
+    qk_scale: float = QK_SCALE,
+) -> List[WordTiming]:
+    """mel: [T=3000, n_mels] single segment. Returns per-word timings."""
+    if len(text_tokens) == 0:
+        return []
+
+    tokens = jnp.asarray(
+        [
+            *tokenizer.sot_sequence,
+            tokenizer.no_timestamps,
+            *text_tokens,
+            tokenizer.eot,
+        ],
+        jnp.int32,
+    )[None]
+
+    dims = model.dims
+    feats = encoder_forward(model.params, mel[None].astype(model.dtype), dims.n_audio_head)
+    ck, cv = precompute_cross_kv(model.params, feats, dims.n_text_head)
+    cache = KVCache(*init_kv_cache(dims, 1, model.dtype), ck, cv)
+    logits, _, cross_qk = decoder_forward(
+        model.params,
+        tokens,
+        cache,
+        jnp.int32(0),
+        dims.n_text_head,
+        capture_cross_qk=True,
+    )
+    # token probabilities under teacher forcing
+    sampled_logits = np.asarray(logits[0], np.float32)[
+        len(tokenizer.sot_sequence) : -1  # positions predicting text tokens + eot
+    ]
+    probs = _softmax(sampled_logits)[
+        np.arange(len(text_tokens) + 1), list(text_tokens) + [tokenizer.eot]
+    ]
+    text_token_probs = probs[:-1].tolist()
+
+    # cross_qk: [L, 1, H, T_tokens, 1500] pre-softmax scores
+    cqk = np.asarray(cross_qk[:, 0], np.float32)  # [L, H, T, 1500]
+    heads = np.stack([cqk[l, h] for l, h in model.alignment_heads])  # [A, T, 1500]
+    heads = heads[:, :, : num_frames // 2]
+    weights = _softmax(heads * qk_scale)  # over frames
+    mean = weights.mean(axis=-2, keepdims=True)
+    std = weights.std(axis=-2, keepdims=True) + 1e-9
+    weights = (weights - mean) / std
+    weights = np.asarray(median_filter(jnp.asarray(weights), medfilt_width))
+
+    matrix = weights.mean(axis=0)  # [T_tokens, frames]
+    matrix = matrix[len(tokenizer.sot_sequence) : -1]  # rows for text tokens + eot...
+
+    text_indices, time_indices = dtw(-matrix)
+
+    words, word_tokens = tokenizer.split_to_word_tokens(
+        list(text_tokens) + [tokenizer.eot]
+    )
+    if len(word_tokens) <= 1:
+        return []
+    word_boundaries = np.pad(
+        np.cumsum([len(t) for t in word_tokens[:-1]]), (1, 0)
+    )
+
+    jumps = np.pad(np.diff(text_indices), (1, 0), constant_values=1).astype(bool)
+    jump_times = time_indices[jumps] / TOKENS_PER_SECOND
+    start_times = jump_times[word_boundaries[:-1]]
+    end_times = jump_times[word_boundaries[1:]]
+    word_probabilities = [
+        float(np.mean(text_token_probs[i:j])) if j > i else 0.0
+        for i, j in zip(word_boundaries[:-1], word_boundaries[1:])
+    ]
+
+    return [
+        WordTiming(word, tokens_, float(start), float(end), probability)
+        for word, tokens_, start, end, probability in zip(
+            words[:-1], word_tokens[:-1], start_times, end_times, word_probabilities
+        )
+    ]
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def merge_punctuations(
+    alignment: List[WordTiming], prepended: str, appended: str
+) -> None:
+    """Attach leading/trailing punctuation to neighbouring words in place
+    (whisper semantics)."""
+    i = len(alignment) - 2
+    j = len(alignment) - 1
+    while i >= 0:
+        previous = alignment[i]
+        following = alignment[j]
+        if previous.word.startswith(" ") and previous.word.strip() in prepended:
+            following.word = previous.word + following.word
+            following.tokens = previous.tokens + following.tokens
+            previous.word = ""
+            previous.tokens = []
+        else:
+            j = i
+        i -= 1
+
+    i = 0
+    j = 1
+    while j < len(alignment):
+        previous = alignment[i]
+        following = alignment[j]
+        if not previous.word.endswith(" ") and following.word in appended:
+            previous.word = previous.word + following.word
+            previous.tokens = previous.tokens + following.tokens
+            following.word = ""
+            following.tokens = []
+        else:
+            i = j
+        j += 1
+
+
+def add_word_timestamps(
+    *,
+    segments: List[dict],
+    model,
+    tokenizer,
+    mel: jnp.ndarray,
+    num_frames: int,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    last_speech_timestamp: float = 0.0,
+) -> None:
+    """Attach ``words`` lists to segments in place (whisper semantics;
+    contract per SURVEY.md §2.9 timing row)."""
+    if len(segments) == 0:
+        return
+
+    text_tokens_per_segment = [
+        [t for t in segment["tokens"] if t < tokenizer.eot]
+        for segment in segments
+    ]
+    text_tokens = [t for seg in text_tokens_per_segment for t in seg]
+    alignment = find_alignment(model, tokenizer, text_tokens, mel, num_frames)
+
+    word_durations = np.array(
+        [t.end - t.start for t in alignment if t.end > t.start]
+    )
+    median_duration = (
+        float(np.median(word_durations)) if len(word_durations) > 0 else 0.0
+    )
+    median_duration = min(0.7, median_duration)
+    max_duration = median_duration * 2
+
+    # truncate long words at sentence boundaries (hallucination guard)
+    if len(word_durations) > 0:
+        sentence_end_marks = ".。!！?？"
+        for i in range(1, len(alignment)):
+            if alignment[i].end - alignment[i].start > max_duration:
+                if alignment[i].word in sentence_end_marks:
+                    alignment[i].end = alignment[i].start + max_duration
+                elif i > 0 and alignment[i - 1].word in sentence_end_marks:
+                    alignment[i].start = alignment[i].end - max_duration
+
+    merge_punctuations(alignment, prepend_punctuations, append_punctuations)
+
+    time_offset = segments[0]["seek"] * HOP_LENGTH / SAMPLE_RATE
+    word_index = 0
+
+    for segment, seg_text_tokens in zip(segments, text_tokens_per_segment):
+        saved_tokens = 0
+        words = []
+        while word_index < len(alignment) and saved_tokens < len(seg_text_tokens):
+            timing = alignment[word_index]
+            word_index += 1
+            if timing.word:
+                words.append(
+                    {
+                        "word": timing.word,
+                        "start": round(time_offset + timing.start, 2),
+                        "end": round(time_offset + timing.end, 2),
+                        "probability": timing.probability,
+                    }
+                )
+            saved_tokens += len(timing.tokens)
+
+        # duration-anomaly fixes at segment edges (whisper heuristics)
+        if len(words) > 0:
+            if (
+                words[0]["end"] - last_speech_timestamp > median_duration * 4
+                and (
+                    words[0]["end"] - words[0]["start"] > max_duration
+                    or (
+                        len(words) > 1
+                        and words[1]["end"] - words[0]["start"] > max_duration * 2
+                    )
+                )
+            ):
+                if (
+                    len(words) > 1
+                    and words[1]["end"] - words[1]["start"] > max_duration
+                ):
+                    boundary = max(
+                        words[1]["end"] / 2, words[1]["end"] - max_duration
+                    )
+                    words[0]["end"] = words[1]["start"] = boundary
+                words[0]["start"] = max(0, words[0]["end"] - max_duration)
+
+            if (
+                segment["start"] < words[0]["end"]
+                and segment["start"] - 0.5 > words[0]["start"]
+            ):
+                words[0]["start"] = max(
+                    0, min(words[0]["end"] - median_duration, segment["start"])
+                )
+            else:
+                segment["start"] = words[0]["start"]
+
+            if (
+                segment["end"] > words[-1]["start"]
+                and segment["end"] + 0.5 < words[-1]["end"]
+            ):
+                words[-1]["end"] = max(
+                    words[-1]["start"] + median_duration, segment["end"]
+                )
+            else:
+                segment["end"] = words[-1]["end"]
+
+            last_speech_timestamp = segment["end"]
+
+        segment["words"] = words
+
+
+__all__ = [
+    "WordTiming",
+    "add_word_timestamps",
+    "dtw",
+    "find_alignment",
+    "median_filter",
+    "merge_punctuations",
+]
