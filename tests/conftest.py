@@ -7,7 +7,9 @@ devices via --xla_force_host_platform_device_count.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env may pin JAX_PLATFORMS to the TPU tunnel
+# (axon), but the suite must run hermetically on an 8-device virtual mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

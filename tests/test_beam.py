@@ -1,0 +1,69 @@
+"""Beam-search decode tests on the nano model."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from whisperx_tpu.decoding import DecodingOptions, decode, get_tokenizer
+from whisperx_tpu.decoding.beam import rank_beams
+
+
+def _mel(b=1, n_mels=80, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((b, 3000, n_mels)) * 0.1, jnp.float32)
+
+
+def test_beam_decode_runs(nano_model):
+    res = decode(
+        nano_model,
+        _mel()[0],
+        DecodingOptions(language="en", sample_len=8, beam_size=3),
+    )
+    assert isinstance(res.tokens, list)
+    assert len(res.tokens) <= 8
+    assert np.isfinite(res.avg_logprob)
+
+
+def test_beam_respects_timestamp_grammar(nano_model):
+    tok = get_tokenizer(True, language="en")
+    res = decode(
+        nano_model,
+        _mel(seed=1)[0],
+        DecodingOptions(language="en", sample_len=12, beam_size=2),
+    )
+    if res.tokens:
+        assert res.tokens[0] >= tok.timestamp_begin
+        ts = [t for t in res.tokens if t >= tok.timestamp_begin]
+        assert ts == sorted(ts)
+
+
+def test_beam_batched(nano_model):
+    res = decode(
+        nano_model,
+        _mel(b=2, seed=2),
+        DecodingOptions(language="en", sample_len=6, beam_size=2),
+    )
+    assert len(res) == 2
+
+
+def test_beam_size_one_equals_greedy(nano_model):
+    """K=1 beam search is exactly greedy decoding."""
+    mel = _mel(seed=3)[0]
+    greedy = decode(
+        nano_model, mel, DecodingOptions(language="en", sample_len=8)
+    )
+    beam = decode(
+        nano_model,
+        mel,
+        DecodingOptions(language="en", sample_len=8, beam_size=1),
+    )
+    assert beam.tokens == greedy.tokens
+
+
+def test_rank_beams_length_penalty():
+    tokens = np.zeros((2, 8), np.int64)
+    lengths = np.array([4, 8])
+    scores = np.array([-2.0, -3.0])
+    # score/length: -2/4 = -0.50 vs -3/8 = -0.375 → longer beam wins
+    assert rank_beams(tokens, lengths, scores, None)[0] == 1
+    # small alpha normalizes length weakly → higher raw score (shorter) wins
+    assert rank_beams(tokens, lengths, scores, 0.5)[0] == 0

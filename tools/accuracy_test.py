@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Accuracy regression vs gold transcripts (reference accuracy_test.py role).
+
+Usage:
+    python tools/accuracy_test.py AUDIO GOLD_TXT [--model large-v3] [--batch 8]
+
+Computes WER/CER of the pipeline's transcript against the gold text (e.g.
+the reference's 30m.txt gold artifact) and word-timestamp deltas against a
+gold JSON with word_segments (short.json shape) when provided.
+"""
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("audio")
+    ap.add_argument("gold_txt")
+    ap.add_argument("--gold_json", default=None, help="gold with word_segments")
+    ap.add_argument("--model", default="large-v3")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--align", action="store_true")
+    args = ap.parse_args()
+
+    import whisperx_tpu
+    from whisperx_tpu.utils.wer import cer, wer
+
+    audio = whisperx_tpu.load_audio(args.audio)
+    duration = len(audio) / 16000
+
+    t0 = time.perf_counter()
+    pipeline = whisperx_tpu.load_model(args.model, batch_size=args.batch)
+    result = pipeline.transcribe(audio, batch_size=args.batch)
+    elapsed = time.perf_counter() - t0
+
+    hyp = " ".join(s["text"].strip() for s in result["segments"])
+    with open(args.gold_txt, encoding="utf-8") as f:
+        gold = f.read()
+
+    report = {
+        "model": args.model,
+        "duration_s": round(duration, 1),
+        "wall_s": round(elapsed, 1),
+        "rtf": round(duration / elapsed, 2),
+        "wer": round(wer(gold, hyp), 4),
+        "cer": round(cer(gold, hyp), 4),
+        "n_segments": len(result["segments"]),
+    }
+
+    if args.align and result["segments"]:
+        aligner, meta = whisperx_tpu.load_align_model(result["language"], "tpu")
+        aligned = whisperx_tpu.align(
+            result["segments"], aligner, meta, audio, "tpu"
+        )
+        report["n_words"] = len(aligned["word_segments"])
+        if args.gold_json:
+            with open(args.gold_json, encoding="utf-8") as f:
+                gold_words = json.load(f).get("word_segments", [])
+            deltas = []
+            gold_by_word = {}
+            for w in gold_words:
+                gold_by_word.setdefault(w["word"].strip().lower(), []).append(w)
+            for w in aligned["word_segments"]:
+                if "start" not in w:
+                    continue
+                cands = gold_by_word.get(w["word"].strip().lower())
+                if cands:
+                    best = min(cands, key=lambda g: abs(g["start"] - w["start"]))
+                    deltas.append(abs(best["start"] - w["start"]))
+            if deltas:
+                import numpy as np
+
+                deltas = np.asarray(deltas)
+                report["word_dt_mean_s"] = round(float(deltas.mean()), 3)
+                report["word_within_50ms"] = round(float((deltas <= 0.05).mean()), 3)
+                report["word_within_200ms"] = round(float((deltas <= 0.2).mean()), 3)
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

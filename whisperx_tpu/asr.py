@@ -72,6 +72,7 @@ class TranscriptionPipeline:
     language: Optional[str] = None
     task: str = "transcribe"
     batch_size: int = 8
+    decode_mode: str = "batched"  # "batched" | "sequential"
 
     def __post_init__(self):
         self.asr_options = {**DEFAULT_ASR_OPTIONS, **(self.asr_options or {})}
@@ -79,10 +80,10 @@ class TranscriptionPipeline:
     # ------------------------------------------------------------------
 
     def detect_language(self, audio: np.ndarray) -> str:
-        mel = np.asarray(
-            log_mel_spectrogram(audio[: 30 * SAMPLE_RATE], self.model.dims.n_mels)
-        )
-        mel = np.asarray(pad_or_trim(mel, N_FRAMES, axis=-1), np.float32)
+        from whisperx_tpu.audio import N_SAMPLES
+
+        head = np.asarray(pad_or_trim(audio, N_SAMPLES), np.float32)
+        mel = np.asarray(log_mel_spectrogram(head, self.model.dims.n_mels))
         tok = get_tokenizer(
             self.model.is_multilingual,
             num_languages=self.model.num_languages,
@@ -148,16 +149,61 @@ class TranscriptionPipeline:
             else:
                 language = "en"
 
-        segments = self._transcribe_chunks(
-            audio,
-            chunks,
-            batch_size=batch_size,
-            language=language,
-            task=task,
-            print_progress=print_progress,
-            verbose=verbose,
-        )
+        if self.decode_mode == "sequential":
+            segments = self._transcribe_chunks_sequential(
+                audio, chunks, language=language, task=task, verbose=verbose
+            )
+        else:
+            segments = self._transcribe_chunks(
+                audio,
+                chunks,
+                batch_size=batch_size,
+                language=language,
+                task=task,
+                print_progress=print_progress,
+                verbose=verbose,
+            )
         return {"segments": segments, "language": language}
+
+    def _transcribe_chunks_sequential(
+        self,
+        audio: np.ndarray,
+        chunks: List[dict],
+        *,
+        language: str,
+        task: str,
+        verbose: bool = False,
+    ) -> List[dict]:
+        """Per-chunk seek-loop transcription with timestamp offsetting —
+        the reference's sequential backend path (mlx_simple.py:154-194),
+        kept for quality-maximal decoding of each VAD window."""
+        from whisperx_tpu.decoding.transcribe import transcribe as seq_transcribe
+
+        opts = self._seq_options()
+        segments: List[dict] = []
+        for ch in chunks:
+            s = int(ch["start"] * SAMPLE_RATE)
+            e = int(ch["end"] * SAMPLE_RATE)
+            result = seq_transcribe(
+                model=self.model,
+                audio=audio[s:e],
+                language=language,
+                task=task,
+                verbose=verbose if verbose else None,
+                **opts,
+            )
+            for seg in result["segments"]:
+                segments.append(
+                    {
+                        "start": round(seg["start"] + ch["start"], 3),
+                        "end": round(seg["end"] + ch["start"], 3),
+                        "text": seg["text"],
+                        **(
+                            {"words": seg["words"]} if "words" in seg else {}
+                        ),
+                    }
+                )
+        return segments
 
     # ------------------------------------------------------------------
 
@@ -201,13 +247,19 @@ class TranscriptionPipeline:
         o = self.asr_options
         n_mels = self.model.dims.n_mels
 
-        # One mel per chunk, sliced from per-chunk audio (chunks are ≤30 s).
+        # One mel per chunk. Chunk audio is zero-padded to exactly 30 s
+        # BEFORE the mel (whisper training-time semantics: silence has a
+        # non-zero mel floor — zero-padding features instead would be
+        # wrong) — which also gives a single static mel shape, so XLA
+        # compiles the mel program exactly once.
+        from whisperx_tpu.audio import N_SAMPLES
+
         mels = np.zeros((len(chunks), N_FRAMES, n_mels), np.float32)
         for i, ch in enumerate(chunks):
             s = int(ch["start"] * SAMPLE_RATE)
             e = int(ch["end"] * SAMPLE_RATE)
-            mel = np.asarray(log_mel_spectrogram(audio[s:e], n_mels))
-            mels[i, : min(mel.shape[1], N_FRAMES)] = mel.T[:N_FRAMES]
+            seg = np.asarray(pad_or_trim(audio[s:e], N_SAMPLES), np.float32)
+            mels[i] = np.asarray(log_mel_spectrogram(seg, n_mels)).T
 
         temperatures = list(o["temperatures"])
         results: List[Optional[object]] = [None] * len(chunks)
@@ -233,10 +285,16 @@ class TranscriptionPipeline:
                 without_timestamps=o["without_timestamps"],
                 max_initial_timestamp=o["max_initial_timestamp"],
             )
+            # beam search multiplies live decode rows by K — cap B*K so the
+            # tiled cross-KV + beam self-cache fit in HBM
+            if opts.beam_size:
+                bs_eff = max(1, min(batch_size, 32 // opts.beam_size))
+            else:
+                bs_eff = batch_size
             still_pending = []
-            for base in range(0, len(pending), batch_size):
-                idxs = pending[base : base + batch_size]
-                batch = np.zeros((batch_size, N_FRAMES, n_mels), np.float32)
+            for base in range(0, len(pending), bs_eff):
+                idxs = pending[base : base + bs_eff]
+                batch = np.zeros((bs_eff, N_FRAMES, n_mels), np.float32)
                 batch[: len(idxs)] = mels[idxs]
                 batch_results = decode(self.model, jnp.asarray(batch), opts)
                 for j, idx in enumerate(idxs):
@@ -345,6 +403,9 @@ def load_model(
             chunk_size=opts["chunk_size"],
         )
 
+    decode_mode = (
+        "sequential" if backend in ("sequential", "standard") else "batched"
+    )
     return TranscriptionPipeline(
         model=model,
         vad_model=vad_model,
@@ -352,4 +413,5 @@ def load_model(
         language=normalize_language(language),
         task=task,
         batch_size=batch_size,
+        decode_mode=decode_mode,
     )

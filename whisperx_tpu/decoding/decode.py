@@ -190,8 +190,11 @@ def init_kv_cache_like(params, batch, cfg: _StaticConfig):
     d = dec["tok_emb"].shape[1]
     h = cfg.n_head
     dtype = dec["tok_emb"].dtype
-    shape = (n_layer, batch, cfg.n_text_ctx, h, d // h)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    shape = (batch, cfg.n_text_ctx, h, d // h)
+    return (
+        tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
+        tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "sot", "lang_tokens"))
@@ -199,12 +202,17 @@ def _detect_language_jit(params, mel, n_head, sot, lang_tokens):
     b = mel.shape[0]
     audio_features = encoder_forward(params, mel, n_head)
     cross_k, cross_v = precompute_cross_kv(params, audio_features, n_head)
-    n_layer = cross_k.shape[0]
+    n_layer = len(cross_k)
     d = params["decoder"]["tok_emb"].shape[1]
     n_ctx = params["decoder"]["pos_emb"].shape[0]
     dtype = params["decoder"]["tok_emb"].dtype
-    shape = (n_layer, b, n_ctx, n_head, d // n_head)
-    cache = KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), cross_k, cross_v)
+    shape = (b, n_ctx, n_head, d // n_head)
+    cache = KVCache(
+        tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
+        tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
+        cross_k,
+        cross_v,
+    )
     tokens = jnp.full((b, 1), sot, jnp.int32)
     logits, _, _ = decoder_forward(params, tokens, cache, jnp.int32(0), n_head)
     logits = logits[:, 0].astype(jnp.float32)
@@ -330,6 +338,46 @@ def decode(
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
+
+    use_beam = options.beam_size is not None and options.temperature == 0
+    if use_beam:
+        from whisperx_tpu.decoding.beam import _beam_decode_jit, rank_beams
+
+        toks_bk, lens_bk, scores_bk, no_speech_probs, audio_features = (
+            _beam_decode_jit(
+                model.params,
+                mel.astype(model.dtype),
+                initial_arr,
+                cfg,
+                int(options.beam_size),
+            )
+        )
+        toks_bk = np.asarray(toks_bk)
+        lens_bk = np.asarray(lens_bk)
+        scores_bk = np.asarray(scores_bk)
+        nsp = np.asarray(no_speech_probs)
+        results = []
+        for i in range(b):
+            best, avg_lp = rank_beams(
+                toks_bk[i], lens_bk[i], scores_bk[i], options.length_penalty
+            )
+            toks = toks_bk[i, best, : lens_bk[i, best]].tolist()
+            text = tokenizer.decode(toks).strip()
+            results.append(
+                DecodingResult(
+                    audio_features=audio_features[i],
+                    language=language,
+                    language_probs=language_probs[i],
+                    tokens=toks,
+                    text=text,
+                    avg_logprob=avg_lp,
+                    no_speech_prob=float(nsp[i]),
+                    temperature=0.0,
+                    compression_ratio=compression_ratio(text) if text else np.nan,
+                )
+            )
+        return results[0] if single else results
+
     tokens_buf, lengths, sum_logprobs, no_speech_probs, audio_features = _decode_jit(
         model.params,
         mel.astype(model.dtype),

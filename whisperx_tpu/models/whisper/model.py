@@ -211,12 +211,23 @@ def encoder_forward(params: Params, mel: jnp.ndarray, n_head: int) -> jnp.ndarra
     return layer_norm(enc["ln_post"], x)
 
 
+def _use_flash_attention() -> bool:
+    import os
+
+    return os.environ.get("WHISPERX_TPU_FLASH", "0") == "1"
+
+
 def _encoder_block(p, x, n_head):
     h = layer_norm(p["attn_ln"], x)
     q = shard(_split_heads(linear(p["attn"]["query"], h), n_head), DATA_AXIS, None, MODEL_AXIS)
     k = shard(_split_heads(linear(p["attn"]["key"], h), n_head), DATA_AXIS, None, MODEL_AXIS)
     v = shard(_split_heads(linear(p["attn"]["value"], h), n_head), DATA_AXIS, None, MODEL_AXIS)
-    attn, _ = qkv_attention(q, k, v)
+    if _use_flash_attention():
+        from whisperx_tpu.ops.flash_attention import flash_attention
+
+        attn = flash_attention(q, k, v)
+    else:
+        attn, _ = qkv_attention(q, k, v)
     x = x + linear(p["attn"]["out"], _merge_heads(attn))
     h = layer_norm(p["mlp_ln"], x)
     h = jax.nn.gelu(linear(p["mlp1"], h))
@@ -231,36 +242,40 @@ def _encoder_block(p, x, n_head):
 
 
 class KVCache(NamedTuple):
-    """Static-shape decoder cache.
+    """Static-shape decoder cache, one array per layer.
 
-    self_k/self_v: [L, B, n_text_ctx, H, Dh] — written at the current offset.
-    cross_k/cross_v: [L, B, n_audio_ctx, H, Dh] — computed once per segment.
+    self_k/self_v: tuple of [B, n_text_ctx, H, Dh] — written at the decode
+    offset (per-layer arrays keep XLA's in-place update analysis trivial —
+    no whole-stack copy nodes).
+    cross_k/cross_v: tuple of [B, n_audio_ctx, H, Dh] — computed once per
+    segment, read-only thereafter.
     """
 
-    self_k: jnp.ndarray
-    self_v: jnp.ndarray
-    cross_k: jnp.ndarray
-    cross_v: jnp.ndarray
+    self_k: Tuple[jnp.ndarray, ...]
+    self_v: Tuple[jnp.ndarray, ...]
+    cross_k: Tuple[jnp.ndarray, ...]
+    cross_v: Tuple[jnp.ndarray, ...]
 
 
 def init_kv_cache(
     dims: ModelDimensions, batch: int, dtype=jnp.bfloat16
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]:
     h = dims.n_text_head
     dh = dims.n_text_state // h
-    shape = (dims.n_text_layer, batch, dims.n_text_ctx, h, dh)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    shape = (batch, dims.n_text_ctx, h, dh)
+    zeros = tuple(jnp.zeros(shape, dtype) for _ in range(dims.n_text_layer))
+    return zeros, tuple(jnp.zeros(shape, dtype) for _ in range(dims.n_text_layer))
 
 
 def precompute_cross_kv(
     params: Params, audio_features: jnp.ndarray, n_head: int
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Cross-attention K/V for every decoder layer: [L, B, 1500, H, Dh]."""
+) -> Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]:
+    """Per-layer cross-attention K/V tuples of [B, 1500, H, Dh]."""
     ks, vs = [], []
     for blk in params["decoder"]["blocks"]:
         ks.append(_split_heads(linear(blk["cross_attn"]["key"], audio_features), n_head))
         vs.append(_split_heads(linear(blk["cross_attn"]["value"], audio_features), n_head))
-    return jnp.stack(ks), jnp.stack(vs)
+    return tuple(ks), tuple(vs)
 
 
 def decoder_forward(
@@ -290,8 +305,8 @@ def decoder_forward(
     k_pos = jnp.arange(n_ctx)[None, :]  # [1, n_ctx]
     self_mask = jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
 
-    new_self_k = cache.self_k
-    new_self_v = cache.self_v
+    new_self_k = list(cache.self_k)
+    new_self_v = list(cache.self_v)
     cross_qks = [] if capture_cross_qk else None
 
     for i, blk in enumerate(dec["blocks"]):
@@ -300,13 +315,13 @@ def decoder_forward(
         k = _split_heads(linear(blk["attn"]["key"], h), n_head)
         v = _split_heads(linear(blk["attn"]["value"], h), n_head)
         layer_k = jax.lax.dynamic_update_slice(
-            new_self_k[i], k.astype(new_self_k.dtype), (0, offset, 0, 0)
+            new_self_k[i], k.astype(new_self_k[i].dtype), (0, offset, 0, 0)
         )
         layer_v = jax.lax.dynamic_update_slice(
-            new_self_v[i], v.astype(new_self_v.dtype), (0, offset, 0, 0)
+            new_self_v[i], v.astype(new_self_v[i].dtype), (0, offset, 0, 0)
         )
-        new_self_k = new_self_k.at[i].set(layer_k)
-        new_self_v = new_self_v.at[i].set(layer_v)
+        new_self_k[i] = layer_k
+        new_self_v[i] = layer_v
         attn, _ = qkv_attention(q, layer_k, layer_v, mask=self_mask[None, None])
         x = x + linear(blk["attn"]["out"], _merge_heads(attn))
 
@@ -328,7 +343,9 @@ def decoder_forward(
     logits = jnp.dot(
         x, dec["tok_emb"].T, preferred_element_type=jnp.float32
     )
-    new_cache = KVCache(new_self_k, new_self_v, cache.cross_k, cache.cross_v)
+    new_cache = KVCache(
+        tuple(new_self_k), tuple(new_self_v), cache.cross_k, cache.cross_v
+    )
     cqk = jnp.stack(cross_qks) if capture_cross_qk else None
     return logits, new_cache, cqk
 

@@ -61,8 +61,8 @@ def _int8_matmul_kernel(x_ref, qw_ref, scale_ref, out_ref, acc_ref, *, n_groups_
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group_size",))
-def _quant_matmul_pallas_int8(x, qw, scale, group_size: int):
+@functools.partial(jax.jit, static_argnames=("group_size", "interpret"))
+def _quant_matmul_pallas_int8(x, qw, scale, group_size: int, interpret: bool = False):
     """x: [M, K] bf16; qw: [K, N] int8; scale: [K/g, N] f32 -> [M, N]."""
     m, k = x.shape
     n = qw.shape[1]
@@ -96,6 +96,7 @@ def _quant_matmul_pallas_int8(x, qw, scale, group_size: int):
             bytes_accessed=m * k * 2 + k * n + (k // group_size) * n * 4 + m * n * 2,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(x, qw, scale3)
 
 

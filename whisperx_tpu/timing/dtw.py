@@ -73,7 +73,10 @@ def dtw(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.array(text_indices[::-1]), np.array(time_indices[::-1])
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
 def median_filter(x: jnp.ndarray, width: int = 7) -> jnp.ndarray:
     """Median filter along the last axis with edge reflection — the
     vectorized replacement for scipy.signal.medfilt (reference
