@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark matrix: {model} × {batch size} RTF table.
+
+Role of reference benchmark_whisperx.py:19-26 (its CLI matrix over
+{small,base,large-v3} × {batch 1,16}), measured in-process instead of via
+os.system.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def synth(duration_s, sr=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(duration_s * sr)) / sr
+    f0 = 120 + 30 * np.sin(2 * np.pi * 0.5 * t)
+    sig = sum((0.5 / k) * np.sin(2 * np.pi * k * np.cumsum(f0) / sr) for k in range(1, 6))
+    gaps = (np.sin(2 * np.pi * 0.13 * t) > -0.85).astype(np.float64)
+    return (0.3 * sig * gaps / np.abs(sig * gaps + 1e-9).max()).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="*", default=["tiny", "base", "small", "large-v3"])
+    ap.add_argument("--batches", nargs="*", type=int, default=[1, 8, 16])
+    ap.add_argument("--seconds", type=float, default=300)
+    ap.add_argument("--sample_len", type=int, default=128)
+    ap.add_argument("--compute_type", default="bfloat16")
+    args = ap.parse_args()
+
+    from whisperx_tpu.asr import load_model
+
+    audio = synth(args.seconds)
+    rows = []
+    for model_name in args.models:
+        for batch in args.batches:
+            pipeline = load_model(
+                model_name,
+                vad_method="energy",
+                language="en",
+                compute_type=args.compute_type,
+                asr_options={
+                    "temperatures": (0.0,),
+                    "without_timestamps": True,
+                    "log_prob_threshold": None,
+                    "compression_ratio_threshold": None,
+                    "no_speech_threshold": None,
+                    "sample_len": args.sample_len,
+                },
+                batch_size=batch,
+            )
+            pipeline.transcribe(audio[: 16000 * 60], batch_size=batch)  # warmup
+            t0 = time.perf_counter()
+            pipeline.transcribe(audio, batch_size=batch)
+            dt = time.perf_counter() - t0
+            row = {
+                "model": model_name,
+                "batch": batch,
+                "compute_type": args.compute_type,
+                "rtf": round(args.seconds / dt, 2),
+                "wall_s": round(dt, 2),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    print(json.dumps({"matrix": rows}))
+
+
+if __name__ == "__main__":
+    main()

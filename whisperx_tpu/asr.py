@@ -113,6 +113,8 @@ class TranscriptionPipeline:
         language = normalize_language(language or self.language)
         task = task or self.task
 
+        from whisperx_tpu.utils.metrics import GLOBAL_TRACKER as _tracker
+
         if self.vad_model is None:
             # No VAD: full sequential seek-loop transcription.
             from whisperx_tpu.decoding.transcribe import transcribe as seq_transcribe
@@ -134,7 +136,8 @@ class TranscriptionPipeline:
                 "language": result["language"],
             }
 
-        chunks = self._segment_with_vad(audio, chunk_size)
+        with _tracker.track("vad", len(audio) / SAMPLE_RATE):
+            chunks = self._segment_with_vad(audio, chunk_size)
         if not chunks:
             return {"segments": [], "language": language or "en"}
 
@@ -244,6 +247,8 @@ class TranscriptionPipeline:
         print_progress: bool = False,
         verbose: bool = False,
     ) -> List[dict]:
+        from whisperx_tpu.utils.metrics import GLOBAL_TRACKER as _tracker
+
         o = self.asr_options
         n_mels = self.model.dims.n_mels
 
@@ -253,13 +258,17 @@ class TranscriptionPipeline:
         # wrong) — which also gives a single static mel shape, so XLA
         # compiles the mel program exactly once.
         from whisperx_tpu.audio import N_SAMPLES
+        from whisperx_tpu.audio.mel import log_mel_batch
+        from whisperx_tpu.utils.metrics import GLOBAL_TRACKER as _tracker
 
-        mels = np.zeros((len(chunks), N_FRAMES, n_mels), np.float32)
-        for i, ch in enumerate(chunks):
-            s = int(ch["start"] * SAMPLE_RATE)
-            e = int(ch["end"] * SAMPLE_RATE)
-            seg = np.asarray(pad_or_trim(audio[s:e], N_SAMPLES), np.float32)
-            mels[i] = np.asarray(log_mel_spectrogram(seg, n_mels)).T
+        with _tracker.track("mel", sum(c["end"] - c["start"] for c in chunks)):
+            padded = np.zeros((len(chunks), N_SAMPLES), np.float32)
+            for i, ch in enumerate(chunks):
+                s = int(ch["start"] * SAMPLE_RATE)
+                e = min(int(ch["end"] * SAMPLE_RATE), len(audio))
+                n = min(e - s, N_SAMPLES)
+                padded[i, :n] = audio[s : s + n]
+            mels = np.asarray(log_mel_batch(padded, n_mels))  # [N, T, n_mels]
 
         temperatures = list(o["temperatures"])
         results: List[Optional[object]] = [None] * len(chunks)
@@ -296,7 +305,10 @@ class TranscriptionPipeline:
                 idxs = pending[base : base + bs_eff]
                 batch = np.zeros((bs_eff, N_FRAMES, n_mels), np.float32)
                 batch[: len(idxs)] = mels[idxs]
-                batch_results = decode(self.model, jnp.asarray(batch), opts)
+                with _tracker.track(
+                    "decode", sum(chunks[i]["end"] - chunks[i]["start"] for i in idxs)
+                ):
+                    batch_results = decode(self.model, jnp.asarray(batch), opts)
                 for j, idx in enumerate(idxs):
                     r = batch_results[j]
                     if t_idx < len(temperatures) - 1 and self._needs_fallback(r):

@@ -99,38 +99,113 @@ def _dft_conv_kernel(n_fft: int = N_FFT) -> np.ndarray:
     return np.concatenate([cos_bank, sin_bank], axis=0)[:, None, :]
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_matrices(n_fft: int = N_FFT) -> np.ndarray:
+    """Windowed DFT as a [n_fft, 2*(n_fft//2+1)] matmul matrix
+    (cos bank ‖ sin bank), for the reshape-framing STFT path."""
+    banks = _dft_conv_kernel(n_fft)[:, 0, :]  # (2F, n_fft)
+    return np.ascontiguousarray(banks.T)  # (n_fft, 2F)
+
+
+def _frame_signal(padded: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """[..., L] reflect-padded signal → [..., n_frames, N_FFT] frames at
+    HOP_LENGTH stride — pure reshapes/slices (no gather, no conv):
+    N_FFT = 2.5 hops, so frame k = rows k, k+1 and half of row k+2 of the
+    hop-strided reshape."""
+    lead = padded.shape[:-1]
+    length = padded.shape[-1]
+    rows_needed = n_frames + 2
+    target = rows_needed * HOP_LENGTH
+    if length < target:
+        padded = jnp.pad(
+            padded, [(0, 0)] * len(lead) + [(0, target - length)]
+        )
+    else:
+        padded = padded[..., :target]
+    x2 = padded.reshape(*lead, rows_needed, HOP_LENGTH)
+    a = x2[..., 0:n_frames, :]
+    b = x2[..., 1 : n_frames + 1, :]
+    c = x2[..., 2 : n_frames + 2, : N_FFT - 2 * HOP_LENGTH]
+    return jnp.concatenate([a, b, c], axis=-1)  # [..., n_frames, N_FFT]
+
+
+def _stft_power(padded: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """[..., L] → power spectrum [..., n_frames, n_freqs] via framed matmul
+    on the MXU (the strided-conv formulation compiles and runs poorly on
+    TPU; two dense matmuls are ~100× faster)."""
+    frames = _frame_signal(padded, n_frames)
+    dft = jnp.asarray(_dft_matrices())
+    spec = jnp.einsum(
+        "...tw,wf->...tf", frames, dft, precision=jax.lax.Precision.HIGHEST
+    )
+    n_freqs = 1 + N_FFT // 2
+    return spec[..., :n_freqs] ** 2 + spec[..., n_freqs:] ** 2
+
+
 @functools.partial(jax.jit, static_argnames=("n_mels", "padding"))
 def _log_mel_jit(audio: jnp.ndarray, n_mels: int, padding: int) -> jnp.ndarray:
     if padding > 0:
         audio = jnp.pad(audio, (0, padding))
     half = N_FFT // 2
-    # center=True reflect padding, matching torch.stft
-    audio = jnp.pad(audio, (half, half), mode="reflect")
-    # torch.stft yields 1 + L//hop frames; the reference drops the last one
-    # (audio.py:150), leaving exactly L // hop frames.
-    n_frames = (audio.shape[-1] - N_FFT) // HOP_LENGTH + 1
-
-    kernel = jnp.asarray(_dft_conv_kernel())
-    out = jax.lax.conv_general_dilated(
-        audio[None, None, :],  # (N=1, C=1, L)
-        kernel,  # (O, I, W)
-        window_strides=(HOP_LENGTH,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        # full f32 accuracy: the MXU's default bf16 multiply loses ~1e-3
-        # relative, which log10 amplifies in near-silent mel bins
-        precision=jax.lax.Precision.HIGHEST,
-    )[0]  # (2F, T_full)
-    n_freqs = 1 + half
-    out = out[:, : n_frames - 1]  # drop final frame
-    magnitudes = out[:n_freqs] ** 2 + out[n_freqs:] ** 2  # (F, T)
+    # center=True reflect padding, matching torch.stft; torch yields
+    # 1 + L//hop frames and the reference drops the last (audio.py:150),
+    # leaving exactly L // hop frames.
+    n_frames = audio.shape[-1] // HOP_LENGTH
+    padded = jnp.pad(audio, (half, half), mode="reflect")
+    magnitudes = _stft_power(padded, n_frames)  # [T, F]
 
     filters = jnp.asarray(mel_filters(n_mels))
-    mel_spec = filters @ magnitudes  # (n_mels, T)
+    mel_spec = jnp.einsum(
+        "tf,mf->mt", magnitudes, filters, precision=jax.lax.Precision.HIGHEST
+    )  # (n_mels, T)
 
     log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
     log_spec = jnp.maximum(log_spec, log_spec.max() - 8.0)
     return (log_spec + 4.0) / 4.0
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def _log_mel_batch_jit(audio: jnp.ndarray, n_mels: int) -> jnp.ndarray:
+    """audio: [N, L] → [N, frames, n_mels] (per-item dynamic-range floor)."""
+    half = N_FFT // 2
+    n_frames = audio.shape[-1] // HOP_LENGTH
+    padded = jnp.pad(audio, ((0, 0), (half, half)), mode="reflect")
+    magnitudes = _stft_power(padded, n_frames)  # [N, T, F]
+
+    filters = jnp.asarray(mel_filters(n_mels))
+    mel_spec = jnp.einsum(
+        "ntf,mf->ntm", magnitudes, filters, precision=jax.lax.Precision.HIGHEST
+    )  # [N, T, n_mels]
+    log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
+    log_spec = jnp.maximum(
+        log_spec, log_spec.max(axis=(1, 2), keepdims=True) - 8.0
+    )
+    return (log_spec + 4.0) / 4.0
+
+
+def log_mel_batch(
+    audio: "np.ndarray", n_mels: int = 80, max_batch: int = 64
+) -> jnp.ndarray:
+    """Batched log-mel for equal-length chunks: ONE device program per
+    power-of-two batch bucket (the per-chunk host loop was the pipeline's
+    dominant non-decode cost). Zero-padded rows are computed and discarded —
+    cheaper than a recompile per distinct chunk count."""
+    import numpy as np
+
+    n = audio.shape[0]
+    bucket = 1
+    while bucket < min(n, max_batch):
+        bucket *= 2
+    parts = []
+    for i in range(0, n, bucket):
+        part = audio[i : i + bucket]
+        if part.shape[0] < bucket:
+            part = np.concatenate(
+                [part, np.zeros((bucket - part.shape[0], audio.shape[1]), np.float32)]
+            )
+        parts.append(_log_mel_batch_jit(jnp.asarray(part, jnp.float32), n_mels))
+    out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return out[:n]
 
 
 def log_mel_spectrogram(

@@ -61,7 +61,7 @@ def _beam_decode_jit(params, mel, initial_tokens, cfg, beam_size: int):
     # tile along batch for beams: per-layer [B, T, H, D] -> [B*K, T, H, D]
     cross_k = tuple(jnp.repeat(x, k, axis=0) for x in cross_k)
     cross_v = tuple(jnp.repeat(x, k, axis=0) for x in cross_v)
-    self_k, self_v = init_kv_cache_like(params, bk, cfg)
+    self_k, self_v = init_kv_cache_like(params, bk, cfg, n_init=n_init)
     cache = KVCache(self_k, self_v, cross_k, cross_v)
 
     init_bk = jnp.repeat(initial_tokens, k, axis=0)  # same prefix everywhere

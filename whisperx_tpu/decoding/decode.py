@@ -120,7 +120,7 @@ def _decode_jit(params, mel, initial_tokens, rng, temperature, cfg: _StaticConfi
 
     audio_features = encoder_forward(params, mel, cfg.n_head)
     cross_k, cross_v = precompute_cross_kv(params, audio_features, cfg.n_head)
-    self_k, self_v = init_kv_cache_like(params, b, cfg)
+    self_k, self_v = init_kv_cache_like(params, b, cfg, n_init=n_init)
     cache = KVCache(self_k, self_v, cross_k, cross_v)
 
     logits, cache, _ = decoder_forward(
@@ -184,13 +184,18 @@ def _decode_jit(params, mel, initial_tokens, rng, temperature, cfg: _StaticConfi
     return tokens_buf, lengths, sum_logprobs, no_speech_probs, audio_features
 
 
-def init_kv_cache_like(params, batch, cfg: _StaticConfig):
+def init_kv_cache_like(params, batch, cfg: _StaticConfig, n_init: int = 0):
+    """Self-attention cache sized to the actual decode budget (prefix +
+    sample_len, rounded up), NOT the full n_text_ctx — every decode step
+    reads the whole cache, so unused slots cost real HBM bandwidth."""
     dec = params["decoder"]
     n_layer = len(dec["blocks"])
     d = dec["tok_emb"].shape[1]
     h = cfg.n_head
     dtype = dec["tok_emb"].dtype
-    shape = (batch, cfg.n_text_ctx, h, d // h)
+    budget = n_init + cfg.sample_len + 1
+    cache_len = min(cfg.n_text_ctx, -(-budget // 64) * 64)
+    shape = (batch, cache_len, h, d // h)
     return (
         tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
         tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),

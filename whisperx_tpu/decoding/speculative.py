@@ -131,8 +131,8 @@ class SpeculativeDecoder:
         )
         t_cross = precompute_cross_kv(self.target.params, t_feats, cfg.n_head)
         d_cross = precompute_cross_kv(self.draft.params, d_feats, d_cfg.n_head)
-        t_self = init_kv_cache_like(self.target.params, 1, cfg)
-        d_self = init_kv_cache_like(self.draft.params, 1, d_cfg)
+        t_self = init_kv_cache_like(self.target.params, 1, cfg, n_init=n_init)
+        d_self = init_kv_cache_like(self.draft.params, 1, d_cfg, n_init=n_init)
 
         init_arr = jnp.asarray(initial, jnp.int32)[None]
         t_logits, t_self = _prefill(

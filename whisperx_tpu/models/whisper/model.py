@@ -293,16 +293,19 @@ def decoder_forward(
     """
     dec = params["decoder"]
     b, t_new = tokens.shape
-    n_ctx = dec["pos_emb"].shape[0]
+    # the cache may be allocated SHORTER than n_text_ctx (batched decode
+    # caps generation at sample_len — attending over unused slots wastes
+    # HBM reads every step)
+    cache_len = cache.self_k[0].shape[1]
 
     positions = offset + jnp.arange(t_new)
     x = dec["tok_emb"][tokens] + dec["pos_emb"][positions][None]
     x = shard(x, DATA_AXIS)
 
-    # Additive causal mask over the full static context: query i (global pos
+    # Additive causal mask over the static cache: query i (global pos
     # offset+i) may attend to cache slots 0..offset+i.
     q_pos = positions[:, None]  # [T_new, 1]
-    k_pos = jnp.arange(n_ctx)[None, :]  # [1, n_ctx]
+    k_pos = jnp.arange(cache_len)[None, :]  # [1, cache_len]
     self_mask = jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
 
     new_self_k = list(cache.self_k)
