@@ -50,8 +50,9 @@ def main():
         "WHISPERX_TPU_BENCH_MODEL", "large-v3" if on_tpu else "test-nano"
     )
     duration_s = float(os.environ.get("WHISPERX_TPU_BENCH_SECONDS", 1800))
-    batch_size = int(os.environ.get("WHISPERX_TPU_BENCH_BATCH", 8))
+    batch_size = int(os.environ.get("WHISPERX_TPU_BENCH_BATCH", 16))
     sample_len = int(os.environ.get("WHISPERX_TPU_BENCH_SAMPLE_LEN", 128))
+    compute_type = os.environ.get("WHISPERX_TPU_BENCH_COMPUTE", "bfloat16")
 
     import warnings
 
@@ -63,6 +64,7 @@ def main():
         model_name,
         vad_method="energy",
         language="en",
+        compute_type=compute_type,
         asr_options={
             "temperatures": (0.0,),
             "without_timestamps": True,
@@ -98,10 +100,11 @@ def main():
 
     rtf = duration_s / elapsed
     baseline = 5.7  # reference large-v3 fp16 batch 8 (README.md:41)
+    tag = "" if compute_type == "bfloat16" else f" {compute_type}"
     print(
         json.dumps(
             {
-                "metric": f"{model_name} batch={batch_size} RTF (30-min audio, VAD+mel+batched greedy decode)",
+                "metric": f"{model_name}{tag} batch={batch_size} RTF (30-min audio, VAD+mel+batched greedy decode)",
                 "value": round(rtf, 2),
                 "unit": "x realtime",
                 "vs_baseline": round(rtf / baseline, 2),

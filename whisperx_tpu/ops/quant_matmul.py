@@ -34,7 +34,12 @@ def _largest_tile(dim: int, preferred: int, quantum: int) -> int:
 
 
 def _int8_matmul_kernel(x_ref, qw_ref, scale_ref, out_ref, acc_ref, *, n_groups_per_k):
-    """One (TM, TN) output tile; K-dim accumulated across grid axis 2."""
+    """One (TM, TN) output tile; K-dim accumulated across grid axis 2.
+
+    ``scale_ref`` holds ALL K groups for this N tile (the per-K-tile group
+    count is too small for a legal sublane block); rows are indexed by the
+    K-grid position.
+    """
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -43,9 +48,7 @@ def _int8_matmul_kernel(x_ref, qw_ref, scale_ref, out_ref, acc_ref, *, n_groups_
 
     x = x_ref[:]  # [TM, TK] bf16/f32
     qw = qw_ref[:]  # [TK, TN] int8
-    scale = scale_ref[:]  # [n_groups_per_k, TN] f32
     tm, tk = x.shape
-    tn = qw.shape[1]
     group = tk // n_groups_per_k
 
     acc = acc_ref[:]
@@ -53,7 +56,8 @@ def _int8_matmul_kernel(x_ref, qw_ref, scale_ref, out_ref, acc_ref, *, n_groups_
         xs = x[:, g * group : (g + 1) * group]
         ws = qw[g * group : (g + 1) * group, :].astype(jnp.bfloat16)
         partial = jnp.dot(xs, ws, preferred_element_type=jnp.float32)
-        acc = acc + partial * scale[g][None, :]
+        scale_row = scale_ref[k_idx * n_groups_per_k + g]  # [TN]
+        acc = acc + partial * scale_row[None, :]
     acc_ref[:] = acc
 
     @pl.when(k_idx == pl.num_programs(2) - 1)
@@ -66,11 +70,14 @@ def _quant_matmul_pallas_int8(x, qw, scale, group_size: int, interpret: bool = F
     """x: [M, K] bf16; qw: [K, N] int8; scale: [K/g, N] f32 -> [M, N]."""
     m, k = x.shape
     n = qw.shape[1]
+    # Mosaic block constraints: trailing dims of every block must be
+    # (multiple of 8, multiple of 128) or span the full array dimension.
     tm = _largest_tile(m, 256, 8) if m >= 8 else m
     tn = _largest_tile(n, 512, 128)
-    tk = _largest_tile(k, 512, group_size)
+    tk = _largest_tile(k, 512, max(128, group_size))
     n_groups_per_k = tk // group_size
-    scale3 = scale.reshape(k // group_size, n)
+    n_groups = k // group_size
+    scale3 = scale.reshape(n_groups, n)
 
     grid = (m // tm, n // tn, k // tk)
     return pl.pallas_call(
@@ -80,9 +87,10 @@ def _quant_matmul_pallas_int8(x, qw, scale, group_size: int, interpret: bool = F
         in_specs=[
             pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            # full K-group axis (too few rows per K tile for a legal block)
             pl.BlockSpec(
-                (n_groups_per_k, tn),
-                lambda i, j, kk: (kk, j),
+                (n_groups, tn),
+                lambda i, j, kk: (0, j),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -28,7 +28,10 @@ import numpy as np
 class QuantConfig:
     mode: str = "int8"  # "int8" | "int4"
     group_size: int = 64  # scales per `group_size` input channels
-    skip_patterns: tuple = ("conv1", "conv2", "pos_emb", "tok_emb")
+    # decoder-only by default: the AR decode step is HBM-bandwidth-bound
+    # (reads all decoder weights per token) while the encoder is
+    # compute-bound on the MXU, where the int8→bf16 upcast only costs.
+    skip_patterns: tuple = ("conv1", "conv2", "pos_emb", "tok_emb", "/encoder")
     min_size: int = 4096  # don't quantize tiny matrices
 
 
