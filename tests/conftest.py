@@ -7,14 +7,23 @@ devices via --xla_force_host_platform_device_count.
 
 import os
 
-# Force CPU: the session env may pin JAX_PLATFORMS to the TPU tunnel
-# (axon), but the suite must run hermetically on an 8-device virtual mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force CPU: the session env may pin JAX_PLATFORMS to a TPU tunnel (axon),
+# whose sitecustomize re-registers itself in every process — the env var
+# alone is not enough; the jax.config update below wins as long as no
+# backend has initialized yet. Set WHISPERX_TPU_TEST_PLATFORM=axon to run
+# the suite on the real chip instead (all tests except test_parallel pass
+# there too; the mesh tests need the 8 virtual devices).
+_platform = os.environ.get("WHISPERX_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np
 import pytest

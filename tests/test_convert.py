@@ -144,8 +144,10 @@ def test_wav2vec2_hf_roundtrip(tmp_path):
     sd["wav2vec2.feature_projection.layer_norm.bias"] = t(conv_dim[-1])
     sd["wav2vec2.feature_projection.projection.weight"] = t(d, conv_dim[-1])
     sd["wav2vec2.feature_projection.projection.bias"] = t(d)
+    # torch weight_norm(dim=2): v = full conv weight [O, I/groups, W],
+    # g = per-kernel-position gains [1, 1, W]
     sd["wav2vec2.encoder.pos_conv_embed.conv.weight_g"] = t(1, 1, 128)
-    sd["wav2vec2.encoder.pos_conv_embed.conv.weight_v"] = t(128, d // 16, d)
+    sd["wav2vec2.encoder.pos_conv_embed.conv.weight_v"] = t(d, d // 16, 128)
     sd["wav2vec2.encoder.pos_conv_embed.conv.bias"] = t(d)
     sd["wav2vec2.encoder.layer_norm.weight"] = t(d)
     sd["wav2vec2.encoder.layer_norm.bias"] = t(d)

@@ -137,7 +137,7 @@ def convert_hf_wav2vec2(src: str, out: str, name: Optional[str] = None) -> None:
         params,
         {
             "family": "wav2vec2",
-            "name": name or os.path.basename(src.rstrip("/")),
+            "name": name or os.path.basename(str(src).rstrip("/")),
             "config": cfg.__dict__ | {
                 "conv_dim": list(cfg.conv_dim),
                 "conv_kernel": list(cfg.conv_kernel),

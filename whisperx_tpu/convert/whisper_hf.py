@@ -142,7 +142,7 @@ def convert_hf_whisper(src: str, out: str, name: Optional[str] = None) -> None:
         params,
         {
             "family": "whisper",
-            "name": name or os.path.basename(src.rstrip("/")),
+            "name": name or os.path.basename(str(src).rstrip("/")),
             "dims": dims.__dict__,
             "alignment_heads": alignment_heads,
         },
