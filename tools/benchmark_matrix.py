@@ -23,6 +23,18 @@ def synth(duration_s, sr=16000, seed=0):
 
 
 def main():
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.path.expanduser("~/.cache/whisperx_tpu/xla_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="*", default=["tiny", "base", "small", "large-v3"])
     ap.add_argument("--batches", nargs="*", type=int, default=[1, 8, 16])
