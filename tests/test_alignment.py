@@ -49,6 +49,17 @@ def test_trellis_matches_reference_dp():
     np.testing.assert_array_equal(np.isinf(ours), np.isinf(oracle))
 
 
+def test_trellis_numpy_matches_jax_scan():
+    """The host-numpy default and the lax.scan variant are interchangeable."""
+    emission = _fake_emission(T=90, seed=3)
+    tokens = [3, -1, 5, 2, 7, 1]
+    a = get_trellis(emission, tokens, use_jax=False)
+    b = get_trellis(emission, tokens, use_jax=True)
+    fin = np.isfinite(a) & np.isfinite(b)
+    np.testing.assert_allclose(a[fin], b[fin], atol=1e-4)
+    np.testing.assert_array_equal(np.isinf(a), np.isinf(b))
+
+
 def test_trellis_with_wildcards():
     emission = _fake_emission(seed=1)
     tokens = [3, -1, 2, -1, 1]  # -1 = OOV wildcard

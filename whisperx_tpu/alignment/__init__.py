@@ -162,7 +162,28 @@ def align(
 
     aligned_segments: List[SingleAlignedSegment] = []
 
-    # 2. emissions + trellis + backtrack per segment
+    # 2a. batched CTC emissions: one device call per length bucket for all
+    # alignable segments (the reference looped segments; alignment.py:237)
+    waveforms = {}
+    for sdx, segment in enumerate(transcript):
+        if (
+            len(segment_data[sdx]["clean_char"]) == 0
+            or segment["start"] >= max_duration
+        ):
+            continue
+        f1 = int(segment["start"] * SAMPLE_RATE)
+        f2 = int(segment["end"] * SAMPLE_RATE)
+        w = audio[f1:f2]
+        if len(w) < 400:
+            w = np.pad(w, (0, 400 - len(w)))
+        waveforms[sdx] = w
+    emissions_by_sdx = {}
+    if waveforms and hasattr(model, "emissions_batch"):
+        keys = list(waveforms)
+        for k, em in zip(keys, model.emissions_batch([waveforms[k] for k in keys])):
+            emissions_by_sdx[k] = em
+
+    # 2b. trellis + backtrack per segment
     for sdx, segment in enumerate(transcript):
         t1, t2, text = segment["start"], segment["end"], segment["text"]
         aligned_seg: SingleAlignedSegment = {
@@ -191,12 +212,10 @@ def align(
         text_clean = "".join(segment_data[sdx]["clean_char"])
         tokens = [model_dictionary.get(c, -1) for c in text_clean]
 
-        f1, f2 = int(t1 * SAMPLE_RATE), int(t2 * SAMPLE_RATE)
-        waveform = audio[f1:f2]
-        if len(waveform) < 400:
-            waveform = np.pad(waveform, (0, 400 - len(waveform)))
-
-        emission = model.emissions(waveform)[0]
+        if sdx in emissions_by_sdx:
+            emission = emissions_by_sdx[sdx]
+        else:
+            emission = model.emissions(waveforms[sdx])[0]
         blank_id = model.blank_id if hasattr(model, "blank_id") else 0
         for char, code in model_dictionary.items():
             if char in ("[pad]", "<pad>"):

@@ -130,6 +130,32 @@ class Wav2Vec2Aligner:
         t_real = output_lengths(self.config, max(n, 400))
         return ems[:, :t_real]
 
+    def emissions_batch(self, waves) -> list:
+        """Emissions for many variable-length segments with MINIMAL device
+        calls: segments grouped by power-of-two length bucket, one batched
+        forward per bucket, per-segment frame trim. (The reference ran one
+        torch forward per segment — its own TODO at alignment.py:237.)"""
+        from whisperx_tpu.models.wav2vec2.model import output_lengths
+
+        results: list = [None] * len(waves)
+        buckets: Dict[int, list] = {}
+        for i, w in enumerate(waves):
+            n = max(len(w), 400)
+            bucket = 4096
+            while bucket < n:
+                bucket *= 2
+            buckets.setdefault(bucket, []).append(i)
+
+        for bucket, idxs in buckets.items():
+            batch = np.zeros((len(idxs), bucket), np.float32)
+            for row, i in enumerate(idxs):
+                batch[row, : len(waves[i])] = waves[i]
+            ems = np.asarray(self._jitted(self.params, jnp.asarray(batch)))
+            for row, i in enumerate(idxs):
+                t_real = output_lengths(self.config, max(len(waves[i]), 400))
+                results[i] = ems[row, :t_real]
+        return results
+
 
 def load_align_model(
     language_code: str,

@@ -80,10 +80,19 @@ def wildcard_token_scores(
 
 
 def get_trellis(
-    emission: np.ndarray, tokens: List[int], blank_id: int = 0
+    emission: np.ndarray,
+    tokens: List[int],
+    blank_id: int = 0,
+    use_jax: bool = False,
 ) -> np.ndarray:
     """Trellis [T, N] matching reference alignment.py:387-404 exactly,
-    including the +inf guard forcing the path to finish all tokens."""
+    including the +inf guard forcing the path to finish all tokens.
+
+    Default path is vectorized numpy: every segment has a distinct
+    (frames, tokens) shape, so the jitted scan would recompile per segment
+    (seconds each) for a DP that takes milliseconds on host. ``use_jax``
+    selects the ``lax.scan`` version for fixed-shape/batch workloads.
+    """
     emission = np.asarray(emission, np.float32)
     tokens = list(tokens)
     num_frames = emission.shape[0]
@@ -95,12 +104,26 @@ def get_trellis(
     col0 = np.concatenate([[0.0], np.cumsum(blank[1:])]).astype(np.float32)
     col0[num_frames - num_tokens + 1 :] = np.float32(np.inf)
     tok_scores = wildcard_token_scores(emission, np.asarray(tokens[1:]), blank_id)
-    return np.asarray(
-        _trellis_scan(
-            jnp.asarray(blank), jnp.asarray(tok_scores), jnp.asarray(col0)
-        ),
-        np.float32,
-    )
+
+    if use_jax:
+        return np.asarray(
+            _trellis_scan(
+                jnp.asarray(blank), jnp.asarray(tok_scores), jnp.asarray(col0)
+            ),
+            np.float32,
+        )
+
+    trellis = np.empty((num_frames, num_tokens), np.float32)
+    trellis[:, 0] = col0
+    trellis[0, 1:] = NEG_INF
+    row = trellis[0]
+    for t in range(num_frames - 1):
+        new = np.empty(num_tokens, np.float32)
+        new[0] = col0[t + 1]
+        np.maximum(row[1:] + blank[t], row[:-1] + tok_scores[t], out=new[1:])
+        trellis[t + 1] = new
+        row = new
+    return trellis
 
 
 def _token_frame_score(
