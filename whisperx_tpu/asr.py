@@ -291,6 +291,7 @@ class TranscriptionPipeline:
                 ),
                 suppress_tokens=o["suppress_tokens"],
                 suppress_blank=o["suppress_blank"],
+                suppress_numerals=o.get("suppress_numerals", False),
                 without_timestamps=o["without_timestamps"],
                 max_initial_timestamp=o["max_initial_timestamp"],
             )
@@ -386,6 +387,9 @@ def load_model(
     bfloat16 on TPU) / int8 / int4 (weight-only quantized decode).
     """
     from whisperx_tpu.models.whisper import load_model as load_whisper
+    from whisperx_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     dtype_map = {
         "bfloat16": jnp.bfloat16,

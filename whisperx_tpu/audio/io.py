@@ -97,6 +97,8 @@ def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
     Parity: reference whisperx/audio.py:25-65 (ffmpeg s16le pipe). ``.npy``
     files holding a float waveform are accepted directly for test fixtures.
     """
+    if not os.path.exists(file):
+        raise FileNotFoundError(f"Audio file not found: {file!r}")
     if file.endswith(".npy"):
         return np.load(file).astype(np.float32)
     if _FFMPEG is not None:

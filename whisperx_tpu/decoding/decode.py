@@ -54,6 +54,7 @@ class DecodingOptions:
     prefix: Optional[Union[str, Sequence[int]]] = None
     suppress_tokens: Optional[Union[str, Sequence[int]]] = "-1"
     suppress_blank: bool = True
+    suppress_numerals: bool = False
     without_timestamps: bool = False
     max_initial_timestamp: Optional[float] = 1.0
     fp16: bool = True
@@ -336,7 +337,11 @@ def decode(
         sample_len=min(sample_len, n_ctx - len(initial)),
         max_initial_timestamp_index=max_initial_ts_index,
         blank_tokens=blank if options.suppress_blank else (),
-        suppress=F.build_suppress_list(tokenizer, options.suppress_tokens),
+        suppress=F.build_suppress_list(
+            tokenizer,
+            options.suppress_tokens,
+            suppress_numerals=options.suppress_numerals,
+        ),
         without_timestamps=options.without_timestamps,
         greedy=options.temperature == 0,
     )

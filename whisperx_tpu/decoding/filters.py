@@ -139,11 +139,33 @@ def apply_timestamp_rules(
     return logits
 
 
+def numeral_tokens(tokenizer) -> Tuple[int, ...]:
+    """Token ids whose text contains digits or currency symbols — the
+    ``suppress_numerals`` option (reference transcribe.py asr_options;
+    wav2vec2 alignment can't time numerals written as digits). Scanned once
+    per tokenizer and memoized on the instance."""
+    cached = getattr(tokenizer, "_numeral_tokens", None)
+    if cached is None:
+        bad = set("0123456789%$£€¥₹")
+        out = []
+        for t in range(tokenizer.eot):
+            try:
+                text = tokenizer.decode([t])
+            except Exception:
+                continue
+            if any(c in bad for c in text):
+                out.append(t)
+        cached = tuple(out)
+        tokenizer._numeral_tokens = cached
+    return cached
+
+
 def build_suppress_list(
     tokenizer,
     suppress_tokens_option,
     *,
     without_timestamps: bool = False,
+    suppress_numerals: bool = False,
 ) -> Tuple[int, ...]:
     """Resolve the user-facing ``suppress_tokens`` option (reference
     semantics: "-1" → non-speech set; always add task/special markers)."""
@@ -156,6 +178,8 @@ def build_suppress_list(
     if -1 in suppress:
         suppress = [t for t in suppress if t >= 0]
         suppress.extend(tokenizer.non_speech_tokens)
+    if suppress_numerals:
+        suppress.extend(numeral_tokens(tokenizer))
     suppress.extend(
         [
             tokenizer.transcribe,
