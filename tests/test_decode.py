@@ -112,6 +112,19 @@ def test_filter_state_updates():
     assert int(st2.last_timestamp[0]) == tok.timestamp_begin + 5
 
 
+def test_int8_kv_cache_matches_bf16(nano_model):
+    """Per-channel int8 cross-KV must not change greedy decoding."""
+    mel = _mel(b=2, seed=12)
+    a = decode(nano_model, mel, DecodingOptions(language="en", sample_len=12))
+    b = decode(
+        nano_model,
+        mel,
+        DecodingOptions(language="en", sample_len=12, kv_quant=True),
+    )
+    for x, y in zip(a, b):
+        assert x.tokens == y.tokens
+
+
 def test_prompt_prefixes_initial_tokens(nano_model):
     res = decode(
         nano_model,

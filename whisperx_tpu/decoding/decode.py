@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple, Union
 
@@ -55,6 +56,7 @@ class DecodingOptions:
     suppress_tokens: Optional[Union[str, Sequence[int]]] = "-1"
     suppress_blank: bool = True
     suppress_numerals: bool = False
+    kv_quant: bool = False  # int8 cross-KV cache (halves decode HBM reads)
     without_timestamps: bool = False
     max_initial_timestamp: Optional[float] = 1.0
     fp16: bool = True
@@ -90,6 +92,7 @@ class _StaticConfig:
     suppress: Tuple[int, ...]
     without_timestamps: bool
     greedy: bool
+    kv_quant: bool = False
 
 
 def _apply_filters(logits, state, cfg: _StaticConfig):
@@ -121,6 +124,11 @@ def _decode_jit(params, mel, initial_tokens, rng, temperature, cfg: _StaticConfi
 
     audio_features = encoder_forward(params, mel, cfg.n_head)
     cross_k, cross_v = precompute_cross_kv(params, audio_features, cfg.n_head)
+    if cfg.kv_quant:
+        from whisperx_tpu.models.whisper.model import quantize_kv
+
+        cross_k = tuple(quantize_kv(x) for x in cross_k)
+        cross_v = tuple(quantize_kv(x) for x in cross_v)
     self_k, self_v = init_kv_cache_like(params, b, cfg, n_init=n_init)
     cache = KVCache(self_k, self_v, cross_k, cross_v)
 
@@ -344,6 +352,8 @@ def decode(
         ),
         without_timestamps=options.without_timestamps,
         greedy=options.temperature == 0,
+        kv_quant=options.kv_quant
+        or os.environ.get("WHISPERX_TPU_KV_QUANT") == "int8",
     )
 
     if rng is None:

@@ -241,6 +241,31 @@ def _encoder_block(p, x, n_head):
 # ---------------------------------------------------------------------------
 
 
+class QuantizedKV(NamedTuple):
+    """int8 cross-KV with per-(batch, head, channel) scales.
+
+    The AR decode step's dominant HBM read is the cross-attention K/V
+    (≈8 GB/step at batch 16 for large-v3 in bf16). Per-channel int8 halves
+    it, and the scales FOLD INTO the query / attention output — no
+    dequantized copy is ever materialized:
+      scores = (q · s_k) @ k8ᵀ        (k8 upcast fuses into the dot)
+      out    = (p @ v8) · s_v
+    """
+
+    q8: jnp.ndarray  # [B, T, H, D] int8
+    scale: jnp.ndarray  # [B, 1, H, D]
+
+
+def quantize_kv(x: jnp.ndarray) -> QuantizedKV:
+    """[B, T, H, D] → per-(b,h,d)-channel int8 over the T axis."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-10)
+    q8 = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return QuantizedKV(q8, scale.astype(jnp.float32))
+
+
 class KVCache(NamedTuple):
     """Static-shape decoder cache, one array per layer.
 
@@ -330,9 +355,33 @@ def decoder_forward(
 
         h = layer_norm(blk["cross_attn_ln"], x)
         cq = _split_heads(linear(blk["cross_attn"]["query"], h), n_head)
-        cattn, cw = qkv_attention(
-            cq, cache.cross_k[i], cache.cross_v[i], return_weights=capture_cross_qk
-        )
+        ck_i, cv_i = cache.cross_k[i], cache.cross_v[i]
+        if isinstance(ck_i, QuantizedKV):
+            dh = cq.shape[-1]
+            # fold the K channel scales and the 1/sqrt(dh) into q; the int8
+            # upcast fuses into the dot (HBM still reads int8)
+            q_eff = (
+                cq.astype(jnp.float32) * ck_i.scale * (dh**-0.5)
+            ).astype(cq.dtype)
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk",
+                q_eff,
+                ck_i.q8.astype(cq.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            weights = jax.nn.softmax(scores, axis=-1)
+            cattn = jnp.einsum(
+                "bhqk,bkhd->bqhd",
+                weights.astype(cq.dtype),
+                cv_i.q8.astype(cq.dtype),
+                preferred_element_type=jnp.float32,
+            ) * cv_i.scale  # [B,1,H,D] broadcasts over the query axis
+            cattn = cattn.astype(cq.dtype)
+            cw = scores if capture_cross_qk else None
+        else:
+            cattn, cw = qkv_attention(
+                cq, ck_i, cv_i, return_weights=capture_cross_qk
+            )
         if capture_cross_qk:
             cross_qks.append(cw)
         x = x + linear(blk["cross_attn"]["out"], _merge_heads(cattn))
