@@ -116,6 +116,13 @@ def _quant_matmul_xla(x, qp):
 
 
 def _on_tpu() -> bool:
+    import os
+
+    if os.environ.get("WHISPERX_TPU_NO_PALLAS_QUANT"):
+        # force the XLA dequant-dot path (XLA also keeps int8 in HBM and
+        # fuses the upcast into the dot; scheduling sometimes overlaps
+        # better with neighbouring ops than the standalone kernel)
+        return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
