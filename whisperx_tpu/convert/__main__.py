@@ -29,6 +29,10 @@ def main():
     v.add_argument("--src", default=None, help="path to silero_vad.onnx")
     v.add_argument("--out", required=True)
 
+    p = sub.add_parser("pyannote", help="pyannote segmentation checkpoint (PyanNet)")
+    p.add_argument("--src", required=True, help="dir or pytorch_model.bin")
+    p.add_argument("--out", required=True)
+
     args = parser.parse_args()
 
     if args.family == "whisper":
@@ -76,6 +80,11 @@ def main():
 
             convert_silero_torch(args.out)
         print(f"converted silero VAD → {args.out}")
+    elif args.family == "pyannote":
+        from whisperx_tpu.convert.pyannote import convert_pyannote_segmentation
+
+        convert_pyannote_segmentation(args.src, args.out)
+        print(f"converted pyannote segmentation → {args.out}")
 
 
 if __name__ == "__main__":
