@@ -36,7 +36,19 @@ class DiarizationPipeline:
         vad_model=None,
     ):
         self.model_name = model_name or "pyannote-tpu"
-        self.embedding = embedding_model or SpectralEmbedding()
+        if embedding_model is None:
+            import os
+
+            ckpt = os.environ.get("WHISPERX_TPU_SPEAKER_CKPT")
+            if ckpt and os.path.isdir(ckpt):
+                from whisperx_tpu.models.resnet_speaker.model import (
+                    ResNetSpeakerEmbedding,
+                )
+
+                embedding_model = ResNetSpeakerEmbedding.from_checkpoint(ckpt)
+            else:
+                embedding_model = SpectralEmbedding()
+        self.embedding = embedding_model
         if vad_model is None:
             from whisperx_tpu.vad import load_vad_model
 
