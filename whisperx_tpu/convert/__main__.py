@@ -33,6 +33,10 @@ def main():
     p.add_argument("--src", required=True, help="dir or pytorch_model.bin")
     p.add_argument("--out", required=True)
 
+    s = sub.add_parser("wespeaker", help="wespeaker ResNet speaker-embedding checkpoint")
+    s.add_argument("--src", required=True)
+    s.add_argument("--out", required=True)
+
     args = parser.parse_args()
 
     if args.family == "whisper":
@@ -85,6 +89,11 @@ def main():
 
         convert_pyannote_segmentation(args.src, args.out)
         print(f"converted pyannote segmentation → {args.out}")
+    elif args.family == "wespeaker":
+        from whisperx_tpu.convert.wespeaker import convert_wespeaker_resnet
+
+        convert_wespeaker_resnet(args.src, args.out)
+        print(f"converted wespeaker embedding → {args.out}")
 
 
 if __name__ == "__main__":
