@@ -56,6 +56,27 @@ def test_quantize_tree_policy():
     assert "w" in q["tiny"]  # tiny matrix skipped
 
 
+def test_quantized_checkpoint_roundtrip(tmp_path, nano_model):
+    """QuantizedLinear layers survive save_checkpoint/load_checkpoint."""
+    from whisperx_tpu.convert.checkpoint import load_checkpoint, save_checkpoint
+    from whisperx_tpu.quant import quantize_model
+
+    qm = quantize_model(nano_model, mode="int8")
+    path = str(tmp_path / "qckpt")
+    save_checkpoint(path, qm.params, {"dims": nano_model.dims.__dict__})
+    params2, _ = load_checkpoint(path, dtype=jnp.bfloat16)
+
+    ql_orig = qm.params["decoder"]["blocks"][0]["mlp1"]
+    ql_new = params2["decoder"]["blocks"][0]["mlp1"]
+    assert isinstance(ql_new, QuantizedLinear)
+    assert ql_new.bits == ql_orig.bits
+    assert ql_new.group_size == ql_orig.group_size
+    np.testing.assert_array_equal(np.asarray(ql_new.qw), np.asarray(ql_orig.qw))
+    np.testing.assert_allclose(
+        np.asarray(ql_new.scale), np.asarray(ql_orig.scale), atol=1e-7
+    )
+
+
 def test_quantized_model_decodes(nano_model):
     from whisperx_tpu.decoding import DecodingOptions, decode
     from whisperx_tpu.quant import quantize_model

@@ -6,6 +6,7 @@ Conversion needs torch/safetensors/onnx on the host; inference never does.
 """
 
 import argparse
+import os
 
 
 def main():
@@ -51,18 +52,30 @@ def main():
 
             convert_hf_whisper(args.src, args.out, args.name)
         if args.quantize:
+            import json as _json
+            import shutil
+
+            from whisperx_tpu.convert.checkpoint import save_checkpoint
             from whisperx_tpu.models.whisper import load_model
             from whisperx_tpu.quant import quantize_model
 
             model = load_model(args.out)
             qm = quantize_model(model, mode=args.quantize)
-            from whisperx_tpu.convert.checkpoint import save_checkpoint
-
-            # quantized params flatten through the standard checkpoint
-            print(
-                "note: quantized checkpoints re-quantize at load time; "
-                "pass compute_type={} to load_model instead".format(args.quantize)
+            qout = f"{args.out}-{args.quantize}"
+            save_checkpoint(
+                qout,
+                qm.params,
+                {
+                    "family": "whisper",
+                    "name": f"{qm.name}",
+                    "dims": model.dims.__dict__,
+                    "alignment_heads": model.alignment_heads,
+                },
             )
+            vocab = os.path.join(args.out, "vocab.tiktoken")
+            if os.path.exists(vocab):
+                shutil.copy(vocab, os.path.join(qout, "vocab.tiktoken"))
+            print(f"quantized ({args.quantize}) → {qout}")
         print(f"converted whisper → {args.out}")
     elif args.family == "wav2vec2":
         if args.torchaudio:

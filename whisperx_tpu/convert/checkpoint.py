@@ -19,6 +19,19 @@ from typing import Any, Dict, Tuple
 import numpy as np
 
 
+_QUANT_MARKER = "__quantized_linear__"
+
+
+def _to_numpy(x) -> np.ndarray:
+    """np.ndarray savable by np.savez: ml_dtypes types (bfloat16, …) have
+    no stock-numpy representation and round-trip as raw void — widen them
+    to float32 at save time."""
+    arr = np.asarray(x)
+    if arr.dtype.kind not in "fiub":
+        arr = arr.astype(np.float32)
+    return arr
+
+
 def flatten_tree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
     flat: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
@@ -27,8 +40,17 @@ def flatten_tree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
             flat.update(flatten_tree(v, f"{prefix}{i}/"))
+    elif type(tree).__name__ == "QuantizedLinear":
+        # weight-only quantized layer: persist tensors + static metadata
+        flat[f"{prefix}{_QUANT_MARKER}/qw"] = _to_numpy(tree.qw)
+        flat[f"{prefix}{_QUANT_MARKER}/scale"] = _to_numpy(tree.scale)
+        if tree.b is not None:
+            flat[f"{prefix}{_QUANT_MARKER}/b"] = _to_numpy(tree.b)
+        flat[f"{prefix}{_QUANT_MARKER}/meta"] = np.asarray(
+            [tree.bits, tree.group_size], np.int64
+        )
     else:
-        flat[prefix[:-1]] = np.asarray(tree)
+        flat[prefix[:-1]] = _to_numpy(tree)
     return flat
 
 
@@ -44,6 +66,14 @@ def unflatten_tree(flat: Dict[str, np.ndarray]):
     def listify(node):
         if not isinstance(node, dict):
             return node
+        if _QUANT_MARKER in node:
+            from whisperx_tpu.quant.core import QuantizedLinear
+
+            q = node[_QUANT_MARKER]
+            bits, group_size = (int(x) for x in q["meta"])
+            return QuantizedLinear(
+                q["qw"], q["scale"], q.get("b"), bits=bits, group_size=group_size
+            )
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
             return [listify(node[str(i)]) for i in range(len(keys))]
@@ -69,7 +99,12 @@ def load_checkpoint(path: str, dtype=None) -> Tuple[Any, dict]:
         import jax.numpy as jnp
 
         flat = {
-            k: jnp.asarray(v, dtype if np.issubdtype(v.dtype, np.floating) else None)
+            k: jnp.asarray(
+                v,
+                dtype
+                if np.issubdtype(v.dtype, np.floating) and _QUANT_MARKER not in k
+                else None,
+            )
             for k, v in flat.items()
         }
     return unflatten_tree(flat), config
