@@ -44,6 +44,30 @@ def test_log_mel_30s_chunk_is_3000_frames():
     assert mel.shape == (80, N_FRAMES)
 
 
+def test_log_mel_batch_matches_single(speech_5s):
+    from whisperx_tpu.audio.mel import log_mel_batch
+
+    other = np.roll(speech_5s, 1000)
+    batch = np.stack([speech_5s, other])
+    mb = np.asarray(log_mel_batch(batch, 80))  # [N, T, n_mels]
+    single0 = np.asarray(log_mel_spectrogram(speech_5s, 80)).T
+    single1 = np.asarray(log_mel_spectrogram(other, 80)).T
+    np.testing.assert_allclose(mb[0], single0, atol=1e-5)
+    np.testing.assert_allclose(mb[1], single1, atol=1e-5)
+
+
+def test_log_mel_batch_bucket_padding(speech_5s):
+    """Odd batch counts go through the pow2-bucket path with padded rows
+    computed and discarded."""
+    from whisperx_tpu.audio.mel import log_mel_batch
+
+    batch = np.stack([speech_5s, np.roll(speech_5s, 7), np.roll(speech_5s, 13)])
+    mb = log_mel_batch(batch, 80)
+    assert mb.shape[0] == 3
+    ref = np.asarray(log_mel_spectrogram(batch[2], 80)).T
+    np.testing.assert_allclose(np.asarray(mb[2]), ref, atol=1e-5)
+
+
 def test_pad_or_trim():
     x = np.ones(100, np.float32)
     assert pad_or_trim(x, 50).shape == (50,)
