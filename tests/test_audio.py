@@ -52,8 +52,8 @@ def test_log_mel_batch_matches_single(speech_5s):
     mb = np.asarray(log_mel_batch(batch, 80))  # [N, T, n_mels]
     single0 = np.asarray(log_mel_spectrogram(speech_5s, 80)).T
     single1 = np.asarray(log_mel_spectrogram(other, 80)).T
-    np.testing.assert_allclose(mb[0], single0, atol=1e-5)
-    np.testing.assert_allclose(mb[1], single1, atol=1e-5)
+    np.testing.assert_allclose(mb[0], single0, atol=5e-5)
+    np.testing.assert_allclose(mb[1], single1, atol=5e-5)
 
 
 def test_log_mel_batch_bucket_padding(speech_5s):
@@ -65,7 +65,7 @@ def test_log_mel_batch_bucket_padding(speech_5s):
     mb = log_mel_batch(batch, 80)
     assert mb.shape[0] == 3
     ref = np.asarray(log_mel_spectrogram(batch[2], 80)).T
-    np.testing.assert_allclose(np.asarray(mb[2]), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mb[2]), ref, atol=5e-5)
 
 
 def test_pad_or_trim():
