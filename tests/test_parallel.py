@@ -54,3 +54,36 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)  # asserts internally
+
+
+def test_dryrun_multichip_driver_path():
+    """The driver's invocation path: a fresh process with NO platform
+    override (default backend = 1-chip axon tunnel or single-device CPU).
+    ``dryrun_multichip`` must self-provision the 8-device virtual mesh by
+    re-executing itself in a CPU child."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    env = dict(os.environ)
+    # Undo conftest's overrides so the subprocess boots like the driver.
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env.pop("_WHISPERX_TPU_DRYRUN_CHILD", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8); "
+            "print('driver-path OK')",
+        ],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "driver-path OK" in proc.stdout

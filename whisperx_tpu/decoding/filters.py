@@ -98,7 +98,14 @@ def apply_timestamp_rules(
     logits = logits.at[:, no_timestamps].set(NEG_INF)
 
     last_was_ts = (state.last_token >= timestamp_begin)[:, None]  # [B,1]
-    penult_was_ts = (state.penult_token >= timestamp_begin)[:, None]
+    # "Penultimate was a timestamp" counts sampled tokens only: with fewer
+    # than 2 sampled, it is vacuously true (Whisper's `len(seq) < 2 or ...`),
+    # so the token right after the forced initial timestamp must be text —
+    # penult_token still holds a prompt/task token at that step and must not
+    # be consulted.
+    penult_was_ts = (
+        (state.penult_token >= timestamp_begin) | (state.step < 2)
+    )[:, None]
     sampled_any = (state.step > 0)
 
     # Pair grammar. After unpaired ts: mask text (ids < eot). After a pair:
