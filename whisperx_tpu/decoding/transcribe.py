@@ -70,6 +70,68 @@ def _decode_with_fallback(
     return result
 
 
+def split_timestamp_segments(
+    tokens: np.ndarray,
+    *,
+    timestamp_begin: int,
+    segment_size: int,
+    time_precision: float = 0.02,
+    input_stride: int = 2,
+):
+    """Partition one window's decoded tokens into timestamped sub-segments.
+
+    Pure arithmetic shared by the seek loop and the gold-replay parity tests
+    (reference contract: the segment `tokens`/`start`/`end`/`seek` fields of
+    the gold 30m.json artifact — every sub-segment spans
+    [t_open … t_close] inclusive and times are (token - timestamp_begin) ×
+    time_precision relative to the window start).
+
+    Returns ``(segments, seek_advance, single_timestamp_ending)`` where
+    ``segments`` is a list of ``(start, end, token_list)`` with times
+    relative to the window start and ``seek_advance`` is in mel frames.
+    """
+    tokens = np.asarray(tokens)
+    timestamp_tokens = tokens >= timestamp_begin
+    single_timestamp_ending = (
+        len(timestamp_tokens) >= 2
+        and bool(timestamp_tokens[-1])
+        and not bool(timestamp_tokens[-2])
+    ) or (len(timestamp_tokens) == 1 and bool(timestamp_tokens[-1]))
+
+    consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
+    segments = []
+    if len(consecutive) > 0:
+        slices = consecutive.tolist()
+        if single_timestamp_ending:
+            slices.append(len(tokens))
+        last_slice = 0
+        for current_slice in slices:
+            sliced = tokens[last_slice:current_slice]
+            start_pos = int(sliced[0]) - timestamp_begin
+            end_pos = int(sliced[-1]) - timestamp_begin
+            segments.append(
+                (
+                    start_pos * time_precision,
+                    end_pos * time_precision,
+                    sliced.tolist(),
+                )
+            )
+            last_slice = current_slice
+        if single_timestamp_ending:
+            seek_advance = segment_size
+        else:
+            last_ts_pos = int(tokens[last_slice - 1]) - timestamp_begin
+            seek_advance = last_ts_pos * input_stride
+    else:
+        duration = segment_size * (time_precision / input_stride)
+        ts = tokens[timestamp_tokens]
+        if len(ts) > 0 and int(ts[-1]) != timestamp_begin:
+            duration = (int(ts[-1]) - timestamp_begin) * time_precision
+        segments.append((0.0, duration, tokens.tolist()))
+        seek_advance = segment_size
+    return segments, seek_advance, single_timestamp_ending
+
+
 def transcribe(
     model,
     audio: Union[str, np.ndarray],
@@ -174,7 +236,6 @@ def transcribe(
         time_offset = seek * time_per_frame
         mel_segment = mel_full[:, seek : seek + N_FRAMES]
         segment_size = min(N_FRAMES, content_frames - seek)
-        segment_duration = segment_size * time_per_frame
         mel_segment = np.asarray(
             pad_or_trim(mel_segment, N_FRAMES, axis=-1), np.float32
         )
@@ -209,54 +270,20 @@ def transcribe(
                 continue
 
         previous_seek = seek
-        current_segments: List[dict] = []
-
-        timestamp_tokens = tokens >= tokenizer.timestamp_begin
-        single_timestamp_ending = (
-            len(timestamp_tokens) >= 2
-            and bool(timestamp_tokens[-1])
-            and not bool(timestamp_tokens[-2])
-        ) or (len(timestamp_tokens) == 1 and bool(timestamp_tokens[-1]))
-
-        consecutive = (
-            np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
-        )
-        if len(consecutive) > 0:
-            slices = consecutive.tolist()
-            if single_timestamp_ending:
-                slices.append(len(tokens))
-            last_slice = 0
-            for current_slice in slices:
-                sliced = tokens[last_slice:current_slice]
-                start_pos = int(sliced[0]) - tokenizer.timestamp_begin
-                end_pos = int(sliced[-1]) - tokenizer.timestamp_begin
-                current_segments.append(
-                    new_segment(
-                        time_offset + start_pos * time_precision,
-                        time_offset + end_pos * time_precision,
-                        sliced.tolist(),
-                        result,
-                    )
-                )
-                last_slice = current_slice
-            if single_timestamp_ending:
-                seek += segment_size
-            else:
-                last_ts_pos = int(tokens[last_slice - 1]) - tokenizer.timestamp_begin
-                seek += last_ts_pos * input_stride
-        else:
-            duration = segment_duration
-            ts = tokens[timestamp_tokens]
-            if len(ts) > 0 and int(ts[-1]) != tokenizer.timestamp_begin:
-                duration = (
-                    int(ts[-1]) - tokenizer.timestamp_begin
-                ) * time_precision
-            current_segments.append(
-                new_segment(
-                    time_offset, time_offset + duration, tokens.tolist(), result
-                )
+        raw_segments, seek_advance, single_timestamp_ending = (
+            split_timestamp_segments(
+                tokens,
+                timestamp_begin=tokenizer.timestamp_begin,
+                segment_size=segment_size,
+                time_precision=time_precision,
+                input_stride=input_stride,
             )
-            seek += segment_size
+        )
+        current_segments = [
+            new_segment(time_offset + s, time_offset + e, toks, result)
+            for s, e, toks in raw_segments
+        ]
+        seek += seek_advance
 
         if word_timestamps:
             from whisperx_tpu.timing import add_word_timestamps
