@@ -1,4 +1,5 @@
-"""Diarization tests: clustering, turns, speaker assignment."""
+"""Diarization tests: clustering, turns, speaker assignment, and the
+pyannote-3.1-class segmentation-driven architecture."""
 
 import numpy as np
 import pandas as pd
@@ -8,6 +9,23 @@ from whisperx_tpu.diarize import (
     agglomerative_cluster,
     assign_word_speakers,
 )
+from whisperx_tpu.diarize.embedding import SpectralEmbedding
+from whisperx_tpu.diarize.segmentation import clean_frame_masks, powerset_table
+
+SR = 16000
+
+
+def _voice(f0: float, duration_s: float, bright: float = 1.0, seed: int = 0):
+    """Synthetic voice: harmonic series with speaker-specific spectrum."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(duration_s * SR)) / SR
+    f = f0 * (1 + 0.02 * np.sin(2 * np.pi * 0.7 * t))
+    phase = 2 * np.pi * np.cumsum(f) / SR
+    sig = sum(
+        (bright ** k / k) * np.sin(k * phase) for k in range(1, 8)
+    )
+    sig = sig + 0.01 * rng.standard_normal(len(t))
+    return (0.3 * sig / np.abs(sig).max()).astype(np.float32)
 
 
 def test_agglomerative_cluster_two_blobs():
@@ -89,3 +107,162 @@ def test_diarization_embeddings_return(speech_5s):
     df, emb = pipe(speech_5s, return_embeddings=True)
     if len(df):
         assert emb and all(isinstance(v, list) for v in emb.values())
+
+
+def test_powerset_table_three_speakers():
+    t = powerset_table(7)  # ∅,{0},{1},{2},{0,1},{0,2},{1,2}
+    assert t.shape == (7, 3)
+    assert t[0].sum() == 0
+    np.testing.assert_array_equal(t[1], [1, 0, 0])
+    np.testing.assert_array_equal(t[3], [0, 0, 1])
+    np.testing.assert_array_equal(t[4], [1, 1, 0])
+    np.testing.assert_array_equal(t[6], [0, 1, 1])
+
+
+def test_powerset_table_two_speakers():
+    t = powerset_table(3)  # ∅,{0},{1}
+    assert t.shape == (3, 2)
+    assert t.sum() == 2
+
+
+def test_clean_frame_masks_prefers_solo_frames():
+    # window: spk0 alone frames 0-9, both 10-19, spk1 alone 20-29
+    act = np.zeros((1, 30, 2), np.float32)
+    act[0, :20, 0] = 1
+    act[0, 10:30, 1] = 1
+    m = clean_frame_masks(act, min_frames=4)
+    np.testing.assert_array_equal(m[0, 0], act[0, :, 0] * (act[0, :, 1] == 0))
+    np.testing.assert_array_equal(m[0, 1], act[0, :, 1] * (act[0, :, 0] == 0))
+
+
+def test_clean_frame_masks_falls_back_when_no_solo():
+    # spk0 always overlapped: solo frames = 0 → fall back to all active
+    act = np.zeros((1, 10, 2), np.float32)
+    act[0, :, 0] = 1
+    act[0, :, 1] = 1
+    m = clean_frame_masks(act, min_frames=4)
+    np.testing.assert_array_equal(m[0, 0], act[0, :, 0])
+
+
+def test_spectral_embedding_is_batched(monkeypatch):
+    """No per-window host loop: one log_mel_batch call for the whole stack,
+    and the batched result matches the per-window single-call stats."""
+    import whisperx_tpu.diarize.embedding as emb_mod
+    from whisperx_tpu.audio.mel import log_mel_batch, log_mel_spectrogram
+
+    calls = []
+    def counting(windows, n_mels=80, **kw):
+        calls.append(len(windows))
+        return log_mel_batch(windows, n_mels, **kw)
+
+    monkeypatch.setattr(emb_mod, "log_mel_batch", counting)
+    rng = np.random.default_rng(3)
+    windows = rng.standard_normal((5, SR)).astype(np.float32) * 0.1
+    out = SpectralEmbedding().embed(windows)
+    assert calls == [5]
+    assert out.shape == (5, 240)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-4)
+
+    # parity with the single-window mel path
+    mel0 = np.asarray(log_mel_spectrogram(windows[0], 80))  # [80, T]
+    mu, sd = mel0.mean(axis=1), mel0.std(axis=1)
+    delta = np.abs(np.diff(mel0, axis=1)).mean(axis=1)
+    v = np.concatenate([mu, sd, delta])
+    v = v / np.linalg.norm(v)
+    np.testing.assert_allclose(out[0], v, atol=2e-3)
+
+
+def test_two_voice_separation_purity():
+    """Two alternating synthetic voices (with natural pauses) must separate
+    with >90% purity."""
+    turn_s, gap_s, n_turns = 3.0, 0.5, 6
+    a = _voice(110.0, turn_s, bright=0.95, seed=1)
+    b = _voice(260.0, turn_s, bright=1.05, seed=2)
+    gap = np.zeros(int(gap_s * SR), np.float32)
+    parts, truth = [], []  # truth: (start, end, voice)
+    t0 = 0.0
+    for i in range(n_turns):
+        parts += [(a if i % 2 == 0 else b), gap]
+        truth.append((t0, t0 + turn_s, i % 2))
+        t0 += turn_s + gap_s
+    audio = np.concatenate(parts)
+
+    from whisperx_tpu.vad import load_vad_model
+
+    pipe = DiarizationPipeline(vad_model=load_vad_model("energy"))
+    df = pipe(audio, num_speakers=2)
+    assert len(df) >= 2
+
+    # grid purity, skipping 0.4 s around turn boundaries
+    preds = []
+    for ts, te, true in truth:
+        for t in np.arange(ts + 0.4, te - 0.4, 0.25):
+            cover = df[(df["start"] <= t) & (df["end"] > t)]
+            if len(cover) == 0:
+                continue
+            preds.append((true, cover.iloc[0]["speaker"]))
+    assert len(preds) >= 20  # VAD + windows must cover most of the audio
+    # majority mapping true → predicted
+    from collections import Counter
+
+    mapping = {}
+    for true in (0, 1):
+        c = Counter(p for tr, p in preds if tr == true)
+        assert c, f"voice {true} never covered by a diarization turn"
+        mapping[true] = c.most_common(1)[0][0]
+    assert mapping[0] != mapping[1], "both voices mapped to one speaker"
+    purity = sum(mapping[tr] == p for tr, p in preds) / len(preds)
+    assert purity > 0.9, purity
+
+
+class _OracleSegmenter:
+    """Hand-built activity: local speaker indices SWAP between windows, and
+    the middle of the file has genuine overlap."""
+
+    window_s = 6.0
+
+    def activity(self, audio):
+        frame_dur = 0.1
+        f = int(self.window_s / frame_dur)  # 60 frames per window
+        act = np.zeros((2, f, 2), np.float32)
+        # window 0 @ 0 s: local0 = voice A on [0,6); local1 = voice B on [4,6)
+        act[0, :, 0] = 1
+        act[0, 40:, 1] = 1
+        # window 1 @ 6 s: local0 = voice B on [0,6) — indices swapped
+        act[1, :, 0] = 1
+        starts = np.asarray([0.0, 6.0])
+        return act, starts, frame_dur
+
+
+def test_segmentation_pipeline_overlap_and_stitching():
+    """Segmentation-driven path: overlapping speech yields overlapping
+    turns, and window-local speaker indices stitch into global labels."""
+    a = _voice(120.0, 12.0, bright=0.5, seed=4)
+    b = _voice(300.0, 12.0, bright=1.2, seed=5)
+    audio = a.copy()
+    audio[4 * SR :] = b[4 * SR :]  # B talks from 4 s on; A only before 6 s
+    audio[4 * SR : 6 * SR] += a[4 * SR : 6 * SR]  # overlap in [4,6)
+
+    pipe = DiarizationPipeline(segmentation_model=_OracleSegmenter())
+    df = pipe(audio, num_speakers=2)
+    assert len(df) >= 2
+    speakers = sorted(df["speaker"].unique())
+    assert len(speakers) == 2
+
+    def covered(spk):
+        rows = df[df["speaker"] == spk]
+        return [(r["start"], r["end"]) for _, r in rows.iterrows()]
+
+    # one speaker covers ~[0,6), the other ~[4,12) (stitched across windows)
+    spans = {s: covered(s) for s in speakers}
+    tot = {s: sum(e - st for st, e in v) for s, v in spans.items()}
+    short, long_ = sorted(speakers, key=lambda s: tot[s])
+    assert abs(tot[short] - 6.0) < 1.0, tot
+    assert abs(tot[long_] - 8.0) < 1.0, tot
+    # genuine overlap: some instant has two active turns
+    assert any(
+        s1 < 6.0 and e1 > 4.0 for st in (spans[short],) for s1, e1 in st
+    )
+    assert any(
+        s1 < 6.0 and e1 > 4.0 for st in (spans[long_],) for s1, e1 in st
+    )

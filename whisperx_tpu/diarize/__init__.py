@@ -1,10 +1,18 @@
 """Speaker diarization + per-word speaker assignment.
 
 Replaces reference whisperx/diarize.py (pyannote.audio dependency) with a
-TPU/host hybrid: VAD speech regions → sliding embedding windows (JAX/mel on
-device, neural embedding model when converted weights exist) → cosine AHC →
-speaker turns. ``assign_word_speakers`` reproduces the reference's
-max-summed-intersection rule (diarize.py:104-133) in plain numpy.
+TPU-first pipeline mirroring pyannote/speaker-diarization-3.1's
+architecture:
+
+  segmentation model (batched PyanNet, overlap-aware powerset activity)
+  → embeddings per (window, local speaker) on single-speaker frames only
+  → constrained cosine AHC → global labels
+  → overlap-capable turn aggregation.
+
+Without a converted segmentation checkpoint it degrades to VAD speech
+regions → sliding embedding windows → AHC (no overlap handling), still with
+fully batched device calls. ``assign_word_speakers`` reproduces the
+reference's max-summed-intersection rule (diarize.py:104-133) in numpy.
 """
 
 from __future__ import annotations
@@ -17,9 +25,18 @@ import pandas as pd
 from whisperx_tpu.audio import SAMPLE_RATE, load_audio
 from whisperx_tpu.diarize.clustering import agglomerative_cluster
 from whisperx_tpu.diarize.embedding import SpectralEmbedding
+from whisperx_tpu.diarize.segmentation import (
+    SpeakerSegmenter,
+    clean_frame_masks,
+)
 
 WINDOW_S = 2.0
 HOP_S = 0.5
+EMBED_WINDOW_S = 2.0  # fixed embedding input length (equal-length batching)
+
+
+def _empty_df() -> pd.DataFrame:
+    return pd.DataFrame(columns=["segment", "label", "speaker", "start", "end"])
 
 
 class DiarizationPipeline:
@@ -34,11 +51,12 @@ class DiarizationPipeline:
         device: str = "tpu",
         embedding_model=None,
         vad_model=None,
+        segmentation_model: Optional[SpeakerSegmenter] = None,
     ):
+        import os
+
         self.model_name = model_name or "pyannote-tpu"
         if embedding_model is None:
-            import os
-
             ckpt = os.environ.get("WHISPERX_TPU_SPEAKER_CKPT")
             if ckpt and os.path.isdir(ckpt):
                 from whisperx_tpu.models.resnet_speaker.model import (
@@ -49,11 +67,22 @@ class DiarizationPipeline:
             else:
                 embedding_model = SpectralEmbedding()
         self.embedding = embedding_model
-        if vad_model is None:
+
+        if segmentation_model is None:
+            seg_ckpt = os.environ.get("WHISPERX_TPU_SEGMENTATION_CKPT")
+            if seg_ckpt and os.path.isdir(seg_ckpt):
+                segmentation_model = SpeakerSegmenter.from_checkpoint(seg_ckpt)
+        self.segmenter = segmentation_model
+
+        if vad_model is None and segmentation_model is None:
             from whisperx_tpu.vad import load_vad_model
 
             vad_model = load_vad_model("silero")
         self.vad_model = vad_model
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
 
     def __call__(
         self,
@@ -67,45 +96,18 @@ class DiarizationPipeline:
             audio = load_audio(audio)
         audio = np.asarray(audio, np.float32).reshape(-1)
 
-        speech = self.vad_model({"waveform": audio, "sample_rate": SAMPLE_RATE})
+        if self.segmenter is not None:
+            turns, labels, embeds = self._segmentation_diarize(
+                audio, num_speakers, min_speakers, max_speakers
+            )
+        else:
+            turns, labels, embeds = self._vad_diarize(
+                audio, num_speakers, min_speakers, max_speakers
+            )
 
-        # sliding windows inside speech regions
-        win = int(WINDOW_S * SAMPLE_RATE)
-        hop = int(HOP_S * SAMPLE_RATE)
-        windows = []  # (start_s, end_s, samples)
-        for seg in speech:
-            s = int(seg.start * SAMPLE_RATE)
-            e = int(seg.end * SAMPLE_RATE)
-            pos = s
-            while pos < e:
-                chunk = audio[pos : pos + win]
-                if len(chunk) < win // 4:
-                    break
-                if len(chunk) < win:
-                    chunk = np.pad(chunk, (0, win - len(chunk)))
-                windows.append((pos / SAMPLE_RATE, min(e, pos + win) / SAMPLE_RATE, chunk))
-                pos += hop
-
-        if not windows:
-            df = pd.DataFrame(columns=["segment", "label", "speaker", "start", "end"])
+        if not turns:
+            df = _empty_df()
             return (df, None) if return_embeddings else df
-
-        embeds = self.embedding.embed(np.stack([w[2] for w in windows]))
-        labels = agglomerative_cluster(
-            embeds,
-            num_clusters=num_speakers,
-            min_clusters=min_speakers or 1,
-            max_clusters=max_speakers,
-        )
-
-        # windows → merged speaker turns
-        turns = []
-        for (start, end, _), lab in zip(windows, labels):
-            name = f"SPEAKER_{lab:02d}"
-            if turns and turns[-1][2] == name and start <= turns[-1][1] + HOP_S:
-                turns[-1][1] = max(turns[-1][1], end)
-            else:
-                turns.append([start, end, name])
 
         rows = [
             {
@@ -128,6 +130,147 @@ class DiarizationPipeline:
                 )
             return df, speaker_embeddings
         return df
+
+    # ------------------------------------------------------------------
+    # pyannote-3.1-style path: segmentation → clean-frame embeddings →
+    # constrained clustering → overlap-aware aggregation
+    # ------------------------------------------------------------------
+
+    def _segmentation_diarize(
+        self, audio, num_speakers, min_speakers, max_speakers
+    ):
+        act, starts, frame_dur = self.segmenter.activity(audio)  # [W,F,K]
+        n_win, n_frames, n_local = act.shape
+        masks = clean_frame_masks(act)  # [W, K, F]
+
+        # (window, speaker) items with any activity → embedding inputs
+        items = []  # (w, k)
+        active_frames = masks.sum(axis=2)  # [W, K]
+        for w in range(n_win):
+            for k in range(n_local):
+                if active_frames[w, k] > 0:
+                    items.append((w, k))
+        if not items:
+            return [], np.zeros(0, np.int32), np.zeros((0, 1), np.float32)
+
+        embed_len = int(EMBED_WINDOW_S * SAMPLE_RATE)
+        spf = frame_dur * SAMPLE_RATE  # samples per segmentation frame
+        win_samples = int(self.segmenter.window_s * SAMPLE_RATE)
+        inputs = np.zeros((len(items), embed_len), np.float32)
+        for i, (w, k) in enumerate(items):
+            base = int(starts[w] * SAMPLE_RATE)
+            frame_idx = np.where(masks[w, k] > 0)[0]
+            # gather the speaker's clean samples inside this window
+            pieces = []
+            for f0 in frame_idx:
+                s0 = base + int(f0 * spf)
+                s1 = base + min(int((f0 + 1) * spf), win_samples)
+                pieces.append(audio[s0 : min(s1, len(audio))])
+            cat = np.concatenate(pieces) if pieces else np.zeros(1, np.float32)
+            if len(cat) >= embed_len:
+                inputs[i] = cat[:embed_len]
+            elif cat.any():
+                # tile speech to fill the window (see _vad_diarize)
+                inputs[i] = np.pad(
+                    cat, (0, embed_len - len(cat)), mode="wrap"
+                )
+            else:
+                inputs[i, : len(cat)] = cat
+        embeds = self.embedding.embed(inputs)  # ONE batched device call
+
+        labels = agglomerative_cluster(
+            embeds,
+            num_clusters=num_speakers,
+            min_clusters=min_speakers or 1,
+            max_clusters=max_speakers,
+        )
+        n_global = int(labels.max()) + 1 if len(labels) else 0
+
+        # aggregate window-local activity under global labels on a shared
+        # frame grid; overlapping windows average, ≥0.5 → active
+        total_frames = int(np.ceil(len(audio) / SAMPLE_RATE / frame_dur)) + 1
+        score = np.zeros((n_global, total_frames), np.float64)
+        cover = np.zeros(total_frames, np.float64)
+        for w in range(n_win):
+            f0 = int(round(starts[w] / frame_dur))
+            hi = min(f0 + n_frames, total_frames)
+            cover[f0:hi] += 1.0
+        for (w, k), g in zip(items, labels):
+            f0 = int(round(starts[w] / frame_dur))
+            hi = min(f0 + n_frames, total_frames)
+            score[g, f0:hi] += act[w, : hi - f0, k]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.where(cover > 0, score / np.maximum(cover, 1e-9), 0.0)
+        binary = avg >= 0.5  # [G, T]
+
+        turns = []
+        for g in range(n_global):
+            on = np.flatnonzero(binary[g])
+            if len(on) == 0:
+                continue
+            # contiguous runs → turns
+            splits = np.flatnonzero(np.diff(on) > 1)
+            run_starts = np.concatenate([[0], splits + 1])
+            run_ends = np.concatenate([splits, [len(on) - 1]])
+            for rs, re_ in zip(run_starts, run_ends):
+                turns.append(
+                    (
+                        on[rs] * frame_dur,
+                        (on[re_] + 1) * frame_dur,
+                        f"SPEAKER_{g:02d}",
+                    )
+                )
+        turns.sort()
+        return turns, labels, embeds
+
+    # ------------------------------------------------------------------
+    # fallback path: VAD regions → sliding windows → batched embeddings
+    # ------------------------------------------------------------------
+
+    def _vad_diarize(self, audio, num_speakers, min_speakers, max_speakers):
+        speech = self.vad_model({"waveform": audio, "sample_rate": SAMPLE_RATE})
+
+        win = int(WINDOW_S * SAMPLE_RATE)
+        hop = int(HOP_S * SAMPLE_RATE)
+        windows = []  # (start_s, end_s, samples)
+        for seg in speech:
+            s = int(seg.start * SAMPLE_RATE)
+            e = int(seg.end * SAMPLE_RATE)
+            pos = s
+            while pos < e:
+                # trim at the region boundary: windows padded out of trailing
+                # silence become embedding outliers that hijack a cluster
+                chunk = audio[pos : min(pos + win, e)]
+                if len(chunk) < win // 4:
+                    break
+                if len(chunk) < win:
+                    # tile, don't zero-pad: silence would dominate the
+                    # embedding and group short windows by length, not voice
+                    chunk = np.pad(chunk, (0, win - len(chunk)), mode="wrap")
+                windows.append(
+                    (pos / SAMPLE_RATE, min(e, pos + win) / SAMPLE_RATE, chunk)
+                )
+                pos += hop
+
+        if not windows:
+            return [], np.zeros(0, np.int32), np.zeros((0, 1), np.float32)
+
+        embeds = self.embedding.embed(np.stack([w[2] for w in windows]))
+        labels = agglomerative_cluster(
+            embeds,
+            num_clusters=num_speakers,
+            min_clusters=min_speakers or 1,
+            max_clusters=max_speakers,
+        )
+
+        turns = []
+        for (start, end, _), lab in zip(windows, labels):
+            name = f"SPEAKER_{lab:02d}"
+            if turns and turns[-1][2] == name and start <= turns[-1][1] + HOP_S:
+                turns[-1][1] = max(turns[-1][1], end)
+            else:
+                turns.append([start, end, name])
+        return [tuple(t) for t in turns], labels, embeds
 
 
 def assign_word_speakers(
@@ -186,6 +329,7 @@ class Segment:
 __all__ = [
     "DiarizationPipeline",
     "Segment",
+    "SpeakerSegmenter",
     "SpectralEmbedding",
     "agglomerative_cluster",
     "assign_word_speakers",

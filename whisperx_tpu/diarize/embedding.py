@@ -14,23 +14,33 @@ from __future__ import annotations
 
 import numpy as np
 
-from whisperx_tpu.audio.mel import log_mel_spectrogram
+from whisperx_tpu.audio.mel import log_mel_batch
 
 
 class SpectralEmbedding:
-    """Log-mel statistics embedding (hermetic default)."""
+    """Log-mel statistics embedding (hermetic default).
+
+    Fully batched: one device program per power-of-two window bucket
+    (``log_mel_batch``), then vectorized host stats — a 1-hour file is a
+    handful of device calls, not thousands.
+    """
 
     dim = 240
 
     def embed(self, windows: np.ndarray) -> np.ndarray:
         """windows: [B, samples] → [B, dim] unit-norm embeddings."""
-        out = np.zeros((len(windows), self.dim), np.float32)
-        for i, w in enumerate(windows):
-            mel = np.asarray(log_mel_spectrogram(w, 80))  # [80, T]
-            mu = mel.mean(axis=1)
-            sd = mel.std(axis=1)
-            delta = np.abs(np.diff(mel, axis=1)).mean(axis=1) if mel.shape[1] > 1 else np.zeros(80)
-            v = np.concatenate([mu, sd, delta])
-            n = np.linalg.norm(v)
-            out[i] = v / n if n > 0 else v
-        return out
+        windows = np.asarray(windows, np.float32)
+        if windows.ndim != 2:
+            raise ValueError(f"expected [B, samples], got {windows.shape}")
+        if len(windows) == 0:
+            return np.zeros((0, self.dim), np.float32)
+        mel = np.asarray(log_mel_batch(windows, 80))  # [B, T, 80]
+        mu = mel.mean(axis=1)  # [B, 80]
+        sd = mel.std(axis=1)
+        if mel.shape[1] > 1:
+            delta = np.abs(np.diff(mel, axis=1)).mean(axis=1)
+        else:
+            delta = np.zeros_like(mu)
+        v = np.concatenate([mu, sd, delta], axis=1)  # [B, 240]
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        return (v / np.where(n > 0, n, 1.0)).astype(np.float32)
