@@ -138,10 +138,27 @@ long wxt_decode_wav(const char* path, int target_sr, float** out) {
       r.u32();  // byte rate
       r.u16();  // block align
       bits = r.u16();
+      // reject malformed fmt chunks before any arithmetic uses these:
+      // channels==0 or bits<8 would divide by zero computing the frame
+      // count (SIGFPE in the host process)
+      if (channels == 0 || channels > 64 || bits < 8 || bits % 8 != 0) {
+        fclose(f);
+        return kErrFormat;
+      }
       if (size > 16) fseek(f, size - 16, SEEK_CUR);
       have_fmt = true;
     } else if (id == 0x61746164u) {  // "data"
       if (!have_fmt) { fclose(f); return kErrFormat; }
+      // validate the declared chunk size against the bytes actually left
+      // in the file, so a corrupt header can't drive a huge allocation
+      long pos = ftell(f);
+      fseek(f, 0, SEEK_END);
+      long remain = ftell(f) - pos;
+      fseek(f, pos, SEEK_SET);
+      if (remain < 0 || static_cast<long>(size) > remain) {
+        fclose(f);
+        return kErrFormat;
+      }
       std::vector<uint8_t> raw(size);
       if (fread(raw.data(), 1, size, f) != size) { fclose(f); return kErrFormat; }
       const long frames = size / (channels * (bits / 8));

@@ -206,3 +206,37 @@ def test_prompt_prefixes_initial_tokens(nano_model):
         DecodingOptions(language="en", sample_len=8, prompt="context words"),
     )
     assert len(res.tokens) <= 8  # decode still returns only sampled tokens
+
+
+def test_best_of_picks_highest_avg_logprob(nano_model):
+    """best_of=n at t>0 must equal manually tiling the row n times and
+    keeping the candidate with the highest avg_logprob (upstream
+    GreedyDecoder n_group semantics)."""
+    mel = _mel(seed=7)
+    rng = jax.random.PRNGKey(42)
+    n = 4
+    manual = decode(
+        nano_model,
+        jnp.repeat(mel, n, axis=0),
+        DecodingOptions(language="en", sample_len=10, temperature=0.8),
+        rng=rng,
+    )
+    best = max(manual, key=lambda r: r.avg_logprob)
+    picked = decode(
+        nano_model,
+        mel[0],
+        DecodingOptions(language="en", sample_len=10, temperature=0.8, best_of=n),
+        rng=rng,
+    )
+    assert picked.tokens == best.tokens
+    assert picked.avg_logprob == pytest.approx(best.avg_logprob)
+
+
+def test_best_of_ignored_at_zero_temperature(nano_model):
+    """Greedy decode is deterministic; best_of must not change it."""
+    opts0 = DecodingOptions(language="en", sample_len=8)
+    optsn = DecodingOptions(language="en", sample_len=8, best_of=5)
+    assert (
+        decode(nano_model, _mel(seed=8)[0], opts0).tokens
+        == decode(nano_model, _mel(seed=8)[0], optsn).tokens
+    )

@@ -69,3 +69,41 @@ def test_load_audio_uses_native_for_wav(tmp_path, monkeypatch):
     out = io_mod.load_audio(str(path))
     assert len(out) == 16000
     assert np.abs(out - sig).max() < 1e-3
+
+
+def test_native_rejects_zero_channel_wav(tmp_path):
+    """A fmt chunk with channels=0 must return an error, not SIGFPE."""
+    import struct
+
+    from whisperx_tpu.native import decode_wav_file
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 16000, 0, 0, 16)  # channels=0
+    data = b"\x00\x00" * 100
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    path = tmp_path / "bad.wav"
+    path.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    with pytest.raises(Exception):
+        decode_wav_file(str(path), 16000)
+
+
+def test_native_rejects_oversized_data_chunk(tmp_path):
+    """A data chunk declaring more bytes than the file holds must fail
+    cleanly instead of attempting a huge allocation."""
+    import struct
+
+    from whisperx_tpu.native import decode_wav_file
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0x7FFFFFFF) + b"\x00\x00"
+    )
+    path = tmp_path / "trunc.wav"
+    path.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    with pytest.raises(Exception):
+        decode_wav_file(str(path), 16000)

@@ -85,3 +85,28 @@ def test_quantized_model_decodes(nano_model):
     mel = jnp.zeros((3000, nano_model.dims.n_mels), jnp.float32)
     res = decode(qmodel, mel, DecodingOptions(language="en", sample_len=6))
     assert isinstance(res.tokens, list)
+
+
+def test_first_last_decoder_blocks_stay_fp_at_depth():
+    """Reference accuracy policy (mlx_quantization.py:316-352): at
+    production depth the first and last decoder blocks keep full
+    precision; middle blocks are quantized."""
+    rng = np.random.default_rng(3)
+
+    def linear():
+        return {
+            "w": jnp.asarray(rng.standard_normal((128, 256)), jnp.float32),
+            "b": jnp.zeros((256,)),
+        }
+
+    params = {"decoder": {"blocks": [{"mlp1": linear()} for _ in range(4)]}}
+    q = quantize_tree(params, QuantConfig(mode="int8", group_size=64))
+    assert "w" in q["decoder"]["blocks"][0]["mlp1"]  # first stays fp
+    assert "w" in q["decoder"]["blocks"][3]["mlp1"]  # last stays fp
+    assert isinstance(q["decoder"]["blocks"][1]["mlp1"], QuantizedLinear)
+    assert isinstance(q["decoder"]["blocks"][2]["mlp1"], QuantizedLinear)
+
+    # shallow trees (test configs) quantize everything
+    shallow = {"decoder": {"blocks": [{"mlp1": linear()} for _ in range(2)]}}
+    qs = quantize_tree(shallow, QuantConfig(mode="int8", group_size=64))
+    assert isinstance(qs["decoder"]["blocks"][0]["mlp1"], QuantizedLinear)

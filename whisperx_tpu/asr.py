@@ -66,6 +66,28 @@ DEFAULT_VAD_OPTIONS = {
 }
 
 
+def _max_decode_rows(model, *, kv_quant: bool = False) -> int:
+    """Max concurrent decode rows (batch × beam/best_of tiles) whose KV
+    working set fits the HBM cache budget.
+
+    Per-row decode-time cache = cross-KV (2 · n_layer · 1500 frames · d)
+    + self-KV (2 · n_layer · cache_len · d). Budget defaults to 8 GiB
+    (v5e-class HBM minus weights/activations headroom); override with
+    WHISPERX_TPU_KV_HBM_GB. Replaces the former fixed 32-row cap that
+    treated tiny-fp32 and large-v3-int8 identically.
+    """
+    import os
+
+    dims = model.dims
+    d = dims.n_text_state
+    n_layer = dims.n_text_layer
+    cross_bytes = 1 if kv_quant else 2  # int8 vs bf16 cross-KV
+    self_len = 512  # typical prefix + sample_len budget (decode.py rounds to 64)
+    per_row = 2 * n_layer * d * (1500 * cross_bytes + self_len * 2)
+    budget = float(os.environ.get("WHISPERX_TPU_KV_HBM_GB", "8")) * 2**30
+    return max(1, int(budget // per_row))
+
+
 @dataclass
 class TranscriptionPipeline:
     """VAD → batched ASR pipeline (role of reference MLXWhisperPipeline)."""
@@ -300,10 +322,16 @@ class TranscriptionPipeline:
                 without_timestamps=o["without_timestamps"],
                 max_initial_timestamp=o["max_initial_timestamp"],
             )
-            # beam search multiplies live decode rows by K — cap B*K so the
-            # tiled cross-KV + beam self-cache fit in HBM
-            if opts.beam_size:
-                bs_eff = max(1, min(batch_size, 32 // opts.beam_size))
+            # beam search multiplies live decode rows by K, best_of sampling
+            # by n candidates — cap the tiled row count so cross-KV + the
+            # self-cache fit in the HBM cache budget (derived from model
+            # dims, not a fixed constant)
+            max_rows = _max_decode_rows(self.model, kv_quant=opts.kv_quant)
+            tile = opts.beam_size or (
+                int(opts.best_of) if opts.best_of and opts.best_of > 1 else 1
+            )
+            if tile > 1:
+                bs_eff = max(1, min(batch_size, max_rows // tile))
             else:
                 bs_eff = batch_size
             still_pending = []

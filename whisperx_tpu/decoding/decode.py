@@ -398,10 +398,24 @@ def decode(
             )
         return results[0] if single else results
 
+    # best_of: at temperature > 0, sample n independent candidates per mel
+    # row (upstream GreedyDecoder n_group semantics) and keep the one with
+    # the highest avg_logprob. Implemented by tiling the batch — each tiled
+    # row draws its own categorical sample, so candidates are independent.
+    n_cand = 1
+    if options.temperature > 0 and options.best_of and int(options.best_of) > 1:
+        n_cand = int(options.best_of)
+    mel_in = mel if n_cand == 1 else jnp.repeat(mel, n_cand, axis=0)
+    init_in = (
+        initial_arr
+        if n_cand == 1
+        else jnp.tile(jnp.asarray(initial, jnp.int32)[None], (b * n_cand, 1))
+    )
+
     tokens_buf, lengths, sum_logprobs, no_speech_probs, audio_features = _decode_jit(
         model.params,
-        mel.astype(model.dtype),
-        initial_arr,
+        mel_in.astype(model.dtype),
+        init_in,
         rng,
         jnp.float32(max(options.temperature, 1e-6)),
         cfg,
@@ -411,6 +425,14 @@ def decode(
     lengths_np = np.asarray(lengths)
     sum_lp = np.asarray(sum_logprobs)
     nsp = np.asarray(no_speech_probs)
+
+    if n_cand > 1:
+        avg = sum_lp / (lengths_np + 1)
+        pick = avg.reshape(b, n_cand).argmax(axis=-1)
+        sel = np.arange(b) * n_cand + pick
+        tokens_np, lengths_np = tokens_np[sel], lengths_np[sel]
+        sum_lp, nsp = sum_lp[sel], nsp[sel]
+        audio_features = audio_features[sel]
 
     results = []
     for i in range(b):

@@ -11,7 +11,9 @@ int8/int4-packed in HBM and are dequantized on the fly:
     bandwidth win the memory-bound AR decode step actually needs.
 
 Whisper policy parity (mlx_quantization.py:316-352): conv stems and the
-first/last decoder blocks stay full precision.
+first/last decoder blocks stay full precision (the positional skip applies
+at production depth, ≥4 decoder blocks — shallow test configs quantize all
+blocks so the quant path is still exercised).
 """
 
 from __future__ import annotations
@@ -32,6 +34,10 @@ class QuantConfig:
     # (reads all decoder weights per token) while the encoder is
     # compute-bound on the MXU, where the int8→bf16 upcast only costs.
     skip_patterns: tuple = ("conv1", "conv2", "pos_emb", "tok_emb", "/encoder")
+    # reference accuracy policy (mlx_quantization.py:316-352): the first and
+    # last decoder blocks stay full precision — they carry the largest
+    # per-layer accuracy sensitivity
+    skip_first_last_blocks: bool = True
     min_size: int = 4096  # don't quantize tiny matrices
 
 
@@ -134,8 +140,19 @@ def quantize_tree(params, config: QuantConfig):
     """Walk a param pytree, replacing eligible linear {"w","b"} dicts with
     quantized {"qw","scale","bits","b"} dicts."""
 
+    skip = list(config.skip_patterns)
+    if config.skip_first_last_blocks:
+        try:
+            nb = len(params["decoder"]["blocks"])
+        except (KeyError, TypeError):
+            nb = 0  # non-whisper tree: positional policy doesn't apply
+        # only at production depth — for shallow test configs, dropping two
+        # of two blocks would disable quantization entirely
+        if nb >= 4:
+            skip += ["/decoder/blocks/0/", f"/decoder/blocks/{nb - 1}/"]
+
     def eligible(path: str, node: dict) -> bool:
-        if any(pat in path for pat in config.skip_patterns):
+        if any(pat in path for pat in skip):
             return False
         w = node["w"]
         if w.ndim != 2 or w.size < config.min_size:
@@ -159,12 +176,18 @@ def quantize_tree(params, config: QuantConfig):
     return walk(params)
 
 
-def quantize_model(model, mode: str = "int8", group_size: Optional[int] = None):
+def quantize_model(
+    model,
+    mode: str = "int8",
+    group_size: Optional[int] = None,
+    config: Optional[QuantConfig] = None,
+):
     """Return a new Whisper-like model with weight-only quantized params."""
     from whisperx_tpu.models.whisper import Whisper
 
     gs = group_size or 64
-    config = QuantConfig(mode=mode, group_size=gs)
+    if config is None:
+        config = QuantConfig(mode=mode, group_size=gs)
     qparams = quantize_tree(model.params, config)
     return Whisper(
         model.dims,
