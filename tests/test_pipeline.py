@@ -81,3 +81,79 @@ def test_unified_pipeline_lazy(nano_model):
 def test_detect_language_api(pipeline):
     lang = pipeline.detect_language(synth_speech(2.0))
     assert isinstance(lang, str) and len(lang) >= 2
+
+
+def test_batched_subchunk_timestamps_and_words(nano_model, monkeypatch):
+    """Batched mode must split each 30 s chunk's decoded tokens into
+    timestamped sub-segments (seek-loop semantics) and honor
+    word_timestamps (previously a silent no-op on this path)."""
+    import whisperx_tpu.asr as asr_mod
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.decoding import get_tokenizer
+    from whisperx_tpu.decoding.decode import DecodingResult
+    from whisperx_tpu.vad.types import SpeechSegment
+
+    tok = get_tokenizer(True, language="en")
+    tb = tok.timestamp_begin
+    # <|0.00|> hello <|1.00|><|1.00|> world <|2.00|>
+    tokens = [tb, *b" hello", tb + 50, tb + 50, *b" world", tb + 100]
+
+    def fake_decode(model, mel, opts, **kw):
+        return [
+            DecodingResult(
+                audio_features=None,
+                language="en",
+                tokens=list(tokens),
+                text="hello world",
+                avg_logprob=-0.1,
+                no_speech_prob=0.0,
+                temperature=0.0,
+                compression_ratio=1.0,
+            )
+            for _ in range(mel.shape[0])
+        ]
+
+    monkeypatch.setattr(asr_mod, "decode", fake_decode)
+
+    class OneChunkVAD:
+        vad_onset = 0.5
+        vad_offset = 0.363
+
+        def __call__(self, inp, max_speech_duration_s=30):
+            return [SpeechSegment(start=2.0, end=8.0)]
+
+    audio = np.zeros(16000 * 10, np.float32)
+
+    def make_pipe(word_timestamps):
+        return TranscriptionPipeline(
+            model=nano_model,
+            vad_model=OneChunkVAD(),
+            asr_options={
+                "temperatures": (0.0,),
+                "no_speech_threshold": None,
+                "log_prob_threshold": None,
+                "compression_ratio_threshold": None,
+                "word_timestamps": word_timestamps,
+            },
+            language="en",
+            batch_size=2,
+        )
+
+    segs = make_pipe(False).transcribe(audio)["segments"]
+    assert len(segs) == 2, segs
+    # sub-chunk granularity: window-relative timestamps offset by chunk start
+    assert segs[0]["start"] == 2.0 and segs[0]["end"] == 3.0
+    assert segs[1]["start"] == 3.0 and segs[1]["end"] == 4.0
+    assert segs[0]["text"] == "hello" and segs[1]["text"] == "world"
+
+    # word_timestamps wired on the batched path (real teacher-forced pass;
+    # whisper's edge heuristics may refine segment boundaries to word times)
+    wsegs = make_pipe(True).transcribe(audio)["segments"]
+    assert len(wsegs) == 2
+    for seg in wsegs:
+        assert seg["words"], seg
+        for w in seg["words"]:
+            assert set(w) >= {"word", "start", "end", "probability"}
+            assert np.isfinite(w["start"]) and np.isfinite(w["end"])
+    assert [w["word"] for w in wsegs[0]["words"]] == [" hello"]
+    assert [w["word"] for w in wsegs[1]["words"]] == [" world"]

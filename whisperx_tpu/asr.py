@@ -48,7 +48,9 @@ DEFAULT_ASR_OPTIONS = {
     "initial_prompt": None,
     "suppress_tokens": "-1",
     "suppress_blank": True,
-    "without_timestamps": True,
+    # timestamps ON by default: the batched path splits each 30 s chunk
+    # into timestamped sub-segments (reference sequential-backend quality)
+    "without_timestamps": False,
     "max_initial_timestamp": 1.0,
     "word_timestamps": False,
     "sample_len": None,  # max tokens per chunk (None = n_text_ctx // 2)
@@ -354,7 +356,19 @@ class TranscriptionPipeline:
                     print(f"Progress: {min(100, 100 * done // len(chunks))}%...")
             pending = still_pending
 
-        segments = []
+        from whisperx_tpu.audio.constants import FRAMES_PER_SECOND
+        from whisperx_tpu.decoding.transcribe import split_timestamp_segments
+
+        tokenizer = get_tokenizer(
+            self.model.is_multilingual,
+            num_languages=self.model.num_languages,
+            language=language,
+            task=task,
+            vocab_path=self.model.vocab_path,
+        )
+        with_timestamps = not o["without_timestamps"]
+
+        chunk_segs: List[List[dict]] = [[] for _ in chunks]
         for idx, (ch, r) in enumerate(zip(chunks, results)):
             if r is None:
                 continue
@@ -367,12 +381,70 @@ class TranscriptionPipeline:
                 )
             ):
                 continue  # silent chunk
-            text = r.text.strip()
-            if not text:
-                continue
-            if verbose:
-                print(f"[{ch['start']:.2f} --> {ch['end']:.2f}] {text}")
-            segments.append({"start": round(ch["start"], 3), "end": round(ch["end"], 3), "text": text})
+            seek = int(round(ch["start"] * FRAMES_PER_SECOND))
+            if with_timestamps and r.tokens:
+                # split the window's decoded tokens into timestamped
+                # sub-segments, exactly like the seek loop does — batched
+                # mode no longer degrades to chunk-granular times
+                subs, _, _ = split_timestamp_segments(
+                    np.asarray(r.tokens, np.int64),
+                    timestamp_begin=tokenizer.timestamp_begin,
+                    segment_size=N_FRAMES,
+                )
+                for s_rel, e_rel, toks in subs:
+                    text = tokenizer.decode(toks).strip()
+                    if not text:
+                        continue
+                    chunk_segs[idx].append(
+                        {
+                            "start": round(ch["start"] + s_rel, 3),
+                            "end": round(ch["start"] + e_rel, 3),
+                            "text": text,
+                            "tokens": toks,
+                            "seek": seek,
+                        }
+                    )
+            else:
+                text = r.text.strip()
+                if not text:
+                    continue
+                chunk_segs[idx].append(
+                    {
+                        "start": round(ch["start"], 3),
+                        "end": round(ch["end"], 3),
+                        "text": text,
+                        "tokens": list(r.tokens),
+                        "seek": seek,
+                    }
+                )
+
+        if o["word_timestamps"]:
+            from whisperx_tpu.timing import add_word_timestamps_batched
+
+            nf = [
+                min(N_FRAMES, int(round((c["end"] - c["start"]) * FRAMES_PER_SECOND)))
+                for c in chunks
+            ]
+            with _tracker.track(
+                "word_timing", sum(c["end"] - c["start"] for c in chunks)
+            ):
+                add_word_timestamps_batched(
+                    chunk_segments=chunk_segs,
+                    model=self.model,
+                    tokenizer=tokenizer,
+                    mels=mels,
+                    num_frames_list=nf,
+                )
+
+        segments = []
+        for ch, segs in zip(chunks, chunk_segs):
+            for seg in segs:
+                if verbose:
+                    print(f"[{seg['start']:.2f} --> {seg['end']:.2f}] {seg['text']}")
+                out = {"start": seg["start"], "end": seg["end"], "text": seg["text"]}
+                if "words" in seg:
+                    out["words"] = seg["words"]
+                segments.append(out)
         return segments
 
     def _needs_fallback(self, r) -> bool:

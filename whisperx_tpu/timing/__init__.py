@@ -45,34 +45,31 @@ class WordTiming:
     probability: float
 
 
-def find_alignment(
-    model,
-    tokenizer,
-    text_tokens: List[int],
-    mel: jnp.ndarray,
-    num_frames: int,
-    *,
-    medfilt_width: int = MEDFILT_WIDTH,
-    qk_scale: float = QK_SCALE,
-) -> List[WordTiming]:
-    """mel: [T=3000, n_mels] single segment. Returns per-word timings."""
-    if len(text_tokens) == 0:
-        return []
+def _teacher_forced_rows(tokenizer, text_token_lists: List[List[int]]):
+    """Right-padded [B, L] token matrix of sot_seq + notimestamps + text +
+    eot rows, plus per-row true lengths. Right padding is safe under causal
+    attention — positions within a row never see the pad tail."""
+    prefix = [*tokenizer.sot_sequence, tokenizer.no_timestamps]
+    rows = [prefix + list(tt) + [tokenizer.eot] for tt in text_token_lists]
+    lengths = [len(r) for r in rows]
+    lmax = -(-max(lengths) // 32) * 32  # bucket to 32 (recompile guard)
+    toks = np.full((len(rows), lmax), tokenizer.eot, np.int32)
+    for i, r in enumerate(rows):
+        toks[i, : len(r)] = r
+    return jnp.asarray(toks), lengths
 
-    tokens = jnp.asarray(
-        [
-            *tokenizer.sot_sequence,
-            tokenizer.no_timestamps,
-            *text_tokens,
-            tokenizer.eot,
-        ],
-        jnp.int32,
-    )[None]
 
+def _capture_cross_qk(model, tokens: jnp.ndarray, mels: jnp.ndarray):
+    """One teacher-forced decoder pass over [B, L] tokens / [B, 3000, M]
+    mels, returning (logits [B,L,V] f32 np, cross_qk [Lyr,B,H,L,1500] np)."""
     dims = model.dims
-    feats = encoder_forward(model.params, mel[None].astype(model.dtype), dims.n_audio_head)
+    feats = encoder_forward(
+        model.params, mels.astype(model.dtype), dims.n_audio_head
+    )
     ck, cv = precompute_cross_kv(model.params, feats, dims.n_text_head)
-    cache = KVCache(*init_kv_cache(dims, 1, model.dtype), ck, cv)
+    cache = KVCache(
+        *init_kv_cache(dims, tokens.shape[0], model.dtype), ck, cv
+    )
     logits, _, cross_qk = decoder_forward(
         model.params,
         tokens,
@@ -81,18 +78,35 @@ def find_alignment(
         dims.n_text_head,
         capture_cross_qk=True,
     )
-    # token probabilities under teacher forcing
-    sampled_logits = np.asarray(logits[0], np.float32)[
-        len(tokenizer.sot_sequence) : -1  # positions predicting text tokens + eot
-    ]
+    return np.asarray(logits, np.float32), np.asarray(cross_qk, np.float32)
+
+
+def _alignment_from_capture(
+    logits_row: np.ndarray,
+    cqk_row: np.ndarray,
+    text_tokens: List[int],
+    num_frames: int,
+    model,
+    tokenizer,
+    medfilt_width: int,
+    qk_scale: float,
+) -> List[WordTiming]:
+    """Per-window post-processing: softmax/z-norm/medfilt over the
+    alignment heads, DTW, token→word grouping. ``logits_row`` [T_row, V]
+    and ``cqk_row`` [L, H, T_row, 1500] must already be sliced to the
+    row's true token length."""
+    sot_len = len(tokenizer.sot_sequence)
+    # token probabilities under teacher forcing: positions predicting the
+    # text tokens + eot
+    sampled_logits = logits_row[sot_len:-1]
     probs = _softmax(sampled_logits)[
         np.arange(len(text_tokens) + 1), list(text_tokens) + [tokenizer.eot]
     ]
     text_token_probs = probs[:-1].tolist()
 
-    # cross_qk: [L, 1, H, T_tokens, 1500] pre-softmax scores
-    cqk = np.asarray(cross_qk[:, 0], np.float32)  # [L, H, T, 1500]
-    heads = np.stack([cqk[l, h] for l, h in model.alignment_heads])  # [A, T, 1500]
+    heads = np.stack(
+        [cqk_row[l, h] for l, h in model.alignment_heads]
+    )  # [A, T_row, 1500]
     heads = heads[:, :, : num_frames // 2]
     weights = _softmax(heads * qk_scale)  # over frames
     mean = weights.mean(axis=-2, keepdims=True)
@@ -100,8 +114,8 @@ def find_alignment(
     weights = (weights - mean) / std
     weights = np.asarray(median_filter(jnp.asarray(weights), medfilt_width))
 
-    matrix = weights.mean(axis=0)  # [T_tokens, frames]
-    matrix = matrix[len(tokenizer.sot_sequence) : -1]  # rows for text tokens + eot...
+    matrix = weights.mean(axis=0)  # [T_row, frames]
+    matrix = matrix[sot_len:-1]  # rows for text tokens + eot
 
     text_indices, time_indices = dtw(-matrix)
 
@@ -129,6 +143,80 @@ def find_alignment(
             words[:-1], word_tokens[:-1], start_times, end_times, word_probabilities
         )
     ]
+
+
+def find_alignment(
+    model,
+    tokenizer,
+    text_tokens: List[int],
+    mel: jnp.ndarray,
+    num_frames: int,
+    *,
+    medfilt_width: int = MEDFILT_WIDTH,
+    qk_scale: float = QK_SCALE,
+) -> List[WordTiming]:
+    """mel: [T=3000, n_mels] single segment. Returns per-word timings."""
+    if len(text_tokens) == 0:
+        return []
+    tokens, lengths = _teacher_forced_rows(tokenizer, [text_tokens])
+    logits, cqk = _capture_cross_qk(model, tokens, jnp.asarray(mel)[None])
+    n = lengths[0]
+    return _alignment_from_capture(
+        logits[0, :n],
+        cqk[:, 0, :, :n],
+        text_tokens,
+        num_frames,
+        model,
+        tokenizer,
+        medfilt_width,
+        qk_scale,
+    )
+
+
+def find_alignment_batch(
+    model,
+    tokenizer,
+    text_token_lists: List[List[int]],
+    mels,
+    num_frames_list: List[int],
+    *,
+    medfilt_width: int = MEDFILT_WIDTH,
+    qk_scale: float = QK_SCALE,
+) -> List[List[WordTiming]]:
+    """Word timings for many 30 s windows with ONE teacher-forced device
+    call per group (vs the reference's per-sample loop at
+    mlx_ultra_optimized_batch.py:155-197). ``mels``: [N, 3000, n_mels].
+    Group size bounds the captured cross-QK HBM footprint
+    (layers × B × heads × L × 1500 f32); override with
+    WHISPERX_TPU_ALIGN_BATCH."""
+    import os
+
+    n = len(text_token_lists)
+    results: List[List[WordTiming]] = [[] for _ in range(n)]
+    live = [i for i in range(n) if len(text_token_lists[i]) > 0]
+    if not live:
+        return results
+    group = max(1, int(os.environ.get("WHISPERX_TPU_ALIGN_BATCH", "8")))
+    mels = jnp.asarray(mels)
+    for base in range(0, len(live), group):
+        idxs = live[base : base + group]
+        tokens, lengths = _teacher_forced_rows(
+            tokenizer, [text_token_lists[i] for i in idxs]
+        )
+        logits, cqk = _capture_cross_qk(model, tokens, mels[jnp.asarray(idxs)])
+        for j, i in enumerate(idxs):
+            L = lengths[j]
+            results[i] = _alignment_from_capture(
+                logits[j, :L],
+                cqk[:, j, :, :L],
+                text_token_lists[i],
+                num_frames_list[i],
+                model,
+                tokenizer,
+                medfilt_width,
+                qk_scale,
+            )
+    return results
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:
@@ -193,7 +281,66 @@ def add_word_timestamps(
     ]
     text_tokens = [t for seg in text_tokens_per_segment for t in seg]
     alignment = find_alignment(model, tokenizer, text_tokens, mel, num_frames)
+    _attach_word_timings(
+        segments,
+        text_tokens_per_segment,
+        alignment,
+        prepend_punctuations,
+        append_punctuations,
+        last_speech_timestamp,
+    )
 
+
+def add_word_timestamps_batched(
+    *,
+    chunk_segments: List[List[dict]],
+    model,
+    tokenizer,
+    mels,
+    num_frames_list: List[int],
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+) -> None:
+    """Batched-mode word timing: one chunk = one 30 s window; all windows'
+    teacher-forced captures are batched on device (find_alignment_batch),
+    then each chunk's segments get words attached independently (chunks are
+    separate VAD regions, so last_speech_timestamp doesn't carry across)."""
+    token_lists = []
+    for segs in chunk_segments:
+        toks = [
+            t
+            for seg in segs
+            for t in seg["tokens"]
+            if t < tokenizer.eot
+        ]
+        token_lists.append(toks)
+    alignments = find_alignment_batch(
+        model, tokenizer, token_lists, mels, num_frames_list
+    )
+    for segs, alignment in zip(chunk_segments, alignments):
+        if not segs:
+            continue
+        text_tokens_per_segment = [
+            [t for t in seg["tokens"] if t < tokenizer.eot] for seg in segs
+        ]
+        _attach_word_timings(
+            segs,
+            text_tokens_per_segment,
+            alignment,
+            prepend_punctuations,
+            append_punctuations,
+            0.0,
+        )
+
+
+def _attach_word_timings(
+    segments: List[dict],
+    text_tokens_per_segment: List[List[int]],
+    alignment: List[WordTiming],
+    prepend_punctuations: str,
+    append_punctuations: str,
+    last_speech_timestamp: float,
+) -> None:
     word_durations = np.array(
         [t.end - t.start for t in alignment if t.end > t.start]
     )
@@ -285,8 +432,10 @@ def add_word_timestamps(
 __all__ = [
     "WordTiming",
     "add_word_timestamps",
+    "add_word_timestamps_batched",
     "dtw",
     "find_alignment",
+    "find_alignment_batch",
     "median_filter",
     "merge_punctuations",
 ]
