@@ -58,4 +58,13 @@ for ext in txt srt vtt tsv json; do
     test -f "out_all/clip.$ext" || { echo "FAIL: clip.$ext missing"; exit 1; }
 done
 
+echo ">> Degradation notices (no checkpoints -> loud fallbacks, no silent garbage)"
+notice_out=$(python -m whisperx_tpu clip.wav --model test-nano --vad_method silero \
+    --language en --output_format txt --output_dir out_notice \
+    --batch_size 2 --verbose False 2>&1)
+echo "$notice_out" | grep -q "Skipping alignment" \
+    || { echo "FAIL: no alignment-skip notice"; exit 1; }
+echo "$notice_out" | grep -q "energy" \
+    || { echo "FAIL: no silero->energy fallback notice"; exit 1; }
+
 echo "FRESH-INSTALL TEST PASSED"

@@ -134,3 +134,14 @@ def test_align_start_beyond_audio(speech_5s):
     transcript = [{"start": 99.0, "end": 100.0, "text": "too late"}]
     result = align(transcript, model, metadata, speech_5s, "cpu")
     assert result["segments"][0]["words"] == []
+
+
+def test_random_weight_fallback_is_flagged():
+    """load_align_model marks random-weight aligners so the CLI can skip
+    alignment instead of emitting meaningless timings."""
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        _, metadata = load_align_model("en")
+    assert metadata["random_weights"] is True

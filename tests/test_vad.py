@@ -110,3 +110,15 @@ def test_load_vad_model_dispatch():
     assert v is not None
     h = load_vad_model("hybrid")
     assert h({"waveform": np.zeros(8000, np.float32), "sample_rate": 16000}) == []
+
+
+def test_silero_without_checkpoint_warns_and_degrades(monkeypatch):
+    """Missing Silero weights must fall back to the energy VAD LOUDLY."""
+    import pytest
+
+    from whisperx_tpu.vad import EnergyVAD, load_vad_model
+
+    monkeypatch.delenv("WHISPERX_TPU_SILERO_CKPT", raising=False)
+    with pytest.warns(UserWarning, match="energy"):
+        m = load_vad_model("silero")
+    assert isinstance(m, EnergyVAD)

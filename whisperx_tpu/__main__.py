@@ -86,6 +86,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--hf_token", type=str, default=None, help="kept for CLI compatibility (gated-model download tokens are handled by the converters)")
 
     parser.add_argument("--print_progress", type=str2bool, default=False, help="if True, progress will be printed in transcribe() and align() methods")
+    parser.add_argument("--log_json", type=str, default=None, help="write structured JSON-lines stage metrics (per-stage RTF, tokens/s, batch fill) to this path")
     parser.add_argument("--version", "-V", action="version", version="whisperx-tpu 0.1.0", help="Show version information and exit")
     parser.add_argument("--python-version", "-P", action="version", version=f"Python {platform.python_version()} ({platform.python_implementation()})", help="Show python version information and exit")
     # fmt: on

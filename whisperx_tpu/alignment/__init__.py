@@ -129,34 +129,34 @@ def align(
     total_segments = len(transcript)
 
     # 1. preprocess: keep only characters present in the model dictionary
-    segment_data = {}
-    for sdx, segment in enumerate(transcript):
+    seg_meta = {}
+    for seg_i, segment in enumerate(transcript):
         if print_progress:
-            base_progress = ((sdx + 1) / total_segments) * 100
-            pct = (50 + base_progress / 2) if combined_progress else base_progress
+            pct_raw = ((seg_i + 1) / total_segments) * 100
+            pct = (50 + pct_raw / 2) if combined_progress else pct_raw
             print(f"Progress: {pct:.2f}%...")
 
         text = segment["text"]
-        num_leading = len(text) - len(text.lstrip())
-        num_trailing = len(text) - len(text.rstrip())
+        lead_ws = len(text) - len(text.lstrip())
+        trail_ws = len(text) - len(text.rstrip())
 
-        clean_char, clean_cdx = [], []
-        for cdx, char in enumerate(text):
+        kept_chars, kept_idx = [], []
+        for ch_i, char in enumerate(text):
             char_ = char.lower()
             if model_lang not in LANGUAGES_WITHOUT_SPACES:
                 char_ = char_.replace(" ", "|")
-            if cdx < num_leading or cdx > len(text) - num_trailing - 1:
+            if ch_i < lead_ws or ch_i > len(text) - trail_ws - 1:
                 continue
             if char_ in model_dictionary:
-                clean_char.append(char_)
-                clean_cdx.append(cdx)
+                kept_chars.append(char_)
+                kept_idx.append(ch_i)
             else:
-                clean_char.append("*")  # wildcard placeholder
-                clean_cdx.append(cdx)
+                kept_chars.append("*")  # wildcard placeholder
+                kept_idx.append(ch_i)
 
-        segment_data[sdx] = {
-            "clean_char": clean_char,
-            "clean_cdx": clean_cdx,
+        seg_meta[seg_i] = {
+            "clean_char": kept_chars,
+            "clean_cdx": kept_idx,
             "sentence_spans": _sentence_spans(text),
         }
 
@@ -164,10 +164,10 @@ def align(
 
     # 2a. batched CTC emissions: one device call per length bucket for all
     # alignable segments (the reference looped segments; alignment.py:237)
-    waveforms = {}
-    for sdx, segment in enumerate(transcript):
+    wave_slices = {}
+    for seg_i, segment in enumerate(transcript):
         if (
-            len(segment_data[sdx]["clean_char"]) == 0
+            len(seg_meta[seg_i]["clean_char"]) == 0
             or segment["start"] >= max_duration
         ):
             continue
@@ -176,15 +176,15 @@ def align(
         w = audio[f1:f2]
         if len(w) < 400:
             w = np.pad(w, (0, 400 - len(w)))
-        waveforms[sdx] = w
-    emissions_by_sdx = {}
-    if waveforms and hasattr(model, "emissions_batch"):
-        keys = list(waveforms)
-        for k, em in zip(keys, model.emissions_batch([waveforms[k] for k in keys])):
-            emissions_by_sdx[k] = em
+        wave_slices[seg_i] = w
+    emission_cache = {}
+    if wave_slices and hasattr(model, "emissions_batch"):
+        keys = list(wave_slices)
+        for k, em in zip(keys, model.emissions_batch([wave_slices[k] for k in keys])):
+            emission_cache[k] = em
 
     # 2b. trellis + backtrack per segment
-    for sdx, segment in enumerate(transcript):
+    for seg_i, segment in enumerate(transcript):
         t1, t2, text = segment["start"], segment["end"], segment["text"]
         aligned_seg: SingleAlignedSegment = {
             "start": t1,
@@ -194,28 +194,28 @@ def align(
             "chars": [] if return_char_alignments else None,
         }
 
-        if len(segment_data[sdx]["clean_char"]) == 0:
+        if len(seg_meta[seg_i]["clean_char"]) == 0:
             print(
-                f'Failed to align segment ("{text}"): no characters in this '
-                "segment found in model dictionary, resorting to original..."
+                f'Cannot align "{text}" — none of its characters are in the '
+                "aligner vocabulary; keeping the original timestamps."
             )
             aligned_segments.append(aligned_seg)
             continue
         if t1 >= max_duration:
             print(
-                f'Failed to align segment ("{text}"): original start time '
-                "longer than audio duration, skipping..."
+                f'Cannot align "{text}" — it starts past the end of the '
+                "audio; keeping the original timestamps."
             )
             aligned_segments.append(aligned_seg)
             continue
 
-        text_clean = "".join(segment_data[sdx]["clean_char"])
-        tokens = [model_dictionary.get(c, -1) for c in text_clean]
+        matchable_text = "".join(seg_meta[seg_i]["clean_char"])
+        tokens = [model_dictionary.get(c, -1) for c in matchable_text]
 
-        if sdx in emissions_by_sdx:
-            emission = emissions_by_sdx[sdx]
+        if seg_i in emission_cache:
+            emission = emission_cache[seg_i]
         else:
-            emission = model.emissions(waveforms[sdx])[0]
+            emission = model.emissions(wave_slices[seg_i])[0]
         blank_id = model.blank_id if hasattr(model, "blank_id") else 0
         for char, code in model_dictionary.items():
             if char in ("[pad]", "<pad>"):
@@ -225,24 +225,24 @@ def align(
         path = backtrack_beam(trellis, emission, tokens, blank_id, beam_width=2)
         if path is None:
             print(
-                f'Failed to align segment ("{text}"): backtrack failed, '
-                "resorting to original..."
+                f'Cannot align "{text}" — CTC backtracking found no path; '
+                "keeping the original timestamps."
             )
             aligned_segments.append(aligned_seg)
             continue
 
-        char_segments = merge_repeats(path, text_clean)
+        char_spans = merge_repeats(path, matchable_text)
         duration = t2 - t1
         ratio = duration / (trellis.shape[0] - 1)
 
         # 3. char-level timestamps, tracked per original character index
-        clean_cdx = segment_data[sdx]["clean_cdx"]
+        kept_idx = seg_meta[seg_i]["clean_cdx"]
         char_rows = []
-        word_idx = 0
-        for cdx, char in enumerate(text):
+        word_i = 0
+        for ch_i, char in enumerate(text):
             start = end = score = None
-            if cdx in clean_cdx:
-                cs = char_segments[clean_cdx.index(cdx)]
+            if ch_i in kept_idx:
+                cs = char_spans[kept_idx.index(ch_i)]
                 start = round(cs.start * ratio + t1, 3)
                 end = round(cs.end * ratio + t1, 3)
                 score = round(cs.score, 3)
@@ -252,17 +252,17 @@ def align(
                     "start": start,
                     "end": end,
                     "score": score,
-                    "word-idx": word_idx,
+                    "word_i": word_i,
                 }
             )
             if model_lang in LANGUAGES_WITHOUT_SPACES:
-                word_idx += 1
-            elif cdx == len(text) - 1 or text[cdx + 1] == " ":
-                word_idx += 1
+                word_i += 1
+            elif ch_i == len(text) - 1 or text[ch_i + 1] == " ":
+                word_i += 1
 
         # 4. per-sentence aggregation
         sub_rows = []
-        for s_start, s_end in segment_data[sdx]["sentence_spans"]:
+        for s_start, s_end in seg_meta[seg_i]["sentence_spans"]:
             curr = [
                 (i, r) for i, r in enumerate(char_rows) if s_start <= i <= s_end
             ]
@@ -282,10 +282,10 @@ def align(
             sentence_words: List[SingleWordSegment] = []
             seen = []
             for r in rows:
-                if r["word-idx"] not in seen:
-                    seen.append(r["word-idx"])
+                if r["word_i"] not in seen:
+                    seen.append(r["word_i"])
             for widx in seen:
-                wchars = [r for r in rows if r["word-idx"] == widx]
+                wchars = [r for r in rows if r["word_i"] == widx]
                 word_text = "".join(r["char"] for r in wchars).strip()
                 if not word_text:
                     continue

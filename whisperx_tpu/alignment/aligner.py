@@ -223,5 +223,7 @@ def load_align_model(
         "language": language_code,
         "dictionary": aligner.dictionary,
         "type": "jax",
+        # callers (CLI) skip alignment rather than emit garbage timings
+        "random_weights": aligner.name.endswith("-random"),
     }
     return aligner, metadata

@@ -345,8 +345,11 @@ class TranscriptionPipeline:
                     "decode", sum(chunks[i]["end"] - chunks[i]["start"] for i in idxs)
                 ):
                     batch_results = decode(self.model, jnp.asarray(batch), opts)
+                _tracker.add("batch_slots", bs_eff)
+                _tracker.add("batch_used", len(idxs))
                 for j, idx in enumerate(idxs):
                     r = batch_results[j]
+                    _tracker.add("tokens_decoded", len(r.tokens))
                     if t_idx < len(temperatures) - 1 and self._needs_fallback(r):
                         still_pending.append(idx)
                     else:

@@ -85,6 +85,14 @@ def load_model(
         params, config = load_checkpoint(name_or_path, dtype=dtype)
         dims = ModelDimensions(**config["dims"])
         vocab = os.path.join(name_or_path, "vocab.tiktoken")
+        if not os.path.exists(vocab):
+            warnings.warn(
+                f"Checkpoint {name_or_path!r} has no vocab.tiktoken — text "
+                "decoding falls back to raw UTF-8 bytes (real speech will "
+                "decode to garbage). Re-run whisperx_tpu.convert with the "
+                "tokenizer export.",
+                stacklevel=2,
+            )
         return Whisper(
             dims,
             params,

@@ -57,7 +57,7 @@ def _conv_init(key, d_in, d_out, width, dtype):
 
 
 def _block_init(key, d, dtype, cross: bool):
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 10)
     p = {
         "attn": {
             "query": _linear_init(keys[0], d, d, dtype),
@@ -74,8 +74,8 @@ def _block_init(key, d, dtype, cross: bool):
         p["cross_attn"] = {
             "query": _linear_init(keys[6], d, d, dtype),
             "key": _linear_init(keys[7], d, d, dtype, bias=False),
-            "value": _linear_init(keys[6], d, d, dtype),
-            "out": _linear_init(keys[7], d, d, dtype),
+            "value": _linear_init(keys[8], d, d, dtype),
+            "out": _linear_init(keys[9], d, d, dtype),
         }
         p["cross_attn_ln"] = _ln_init(d, dtype)
     return p

@@ -35,6 +35,7 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
     compute_type: str = args.pop("compute_type")
     verbose: bool = args.pop("verbose")
     word_timestamps: bool = args.pop("word_timestamps")
+    log_json: str = args.pop("log_json", None)
 
     os.makedirs(output_dir, exist_ok=True)
 
@@ -156,6 +157,16 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
         align_model, align_metadata = load_align_model(
             align_language, device, model_name=align_model_name
         )
+        if align_metadata.get("random_weights") and not os.environ.get(
+            "WHISPERX_TPU_ALLOW_RANDOM_ALIGN"
+        ):
+            # garbage timings are worse than none: skip instead of emitting
+            print(
+                ">>Skipping alignment: no converted wav2vec2 checkpoint for "
+                f"language {align_language!r} (run whisperx_tpu.convert, or "
+                "set WHISPERX_TPU_ALLOW_RANDOM_ALIGN=1 to force)."
+            )
+            align_model = None
         for result, audio_path in tmp_results:
             if align_model is not None and len(result["segments"]) > 0:
                 if result.get("language", "en") != align_metadata["language"]:
@@ -206,3 +217,9 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
         result = dict(result)
         result.setdefault("language", align_language)
         writer(result, audio_path, writer_args)
+
+    if log_json:
+        from whisperx_tpu.utils.metrics import GLOBAL_TRACKER
+
+        GLOBAL_TRACKER.emit_jsonl(log_json, extra={"files": len(results)})
+        print(f">>Metrics written to {log_json}")

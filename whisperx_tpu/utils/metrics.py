@@ -28,10 +28,14 @@ class StageStats:
 
 @dataclass
 class RTFTracker:
-    """Per-stage wall-time + real-time-factor accounting."""
+    """Per-stage wall-time + real-time-factor accounting, plus free-form
+    counters (tokens decoded, batch fill) for structured export."""
 
     stages: Dict[str, StageStats] = field(
         default_factory=lambda: defaultdict(StageStats)
+    )
+    counters: Dict[str, float] = field(
+        default_factory=lambda: defaultdict(float)
     )
 
     @contextlib.contextmanager
@@ -45,6 +49,13 @@ class RTFTracker:
             s.calls += 1
             s.total_s += dt
             s.audio_s += audio_seconds
+
+    def add(self, counter: str, value: float = 1.0) -> None:
+        self.counters[counter] += value
+
+    def reset(self) -> None:
+        self.stages.clear()
+        self.counters.clear()
 
     def report(self) -> Dict[str, dict]:
         return {
@@ -61,6 +72,49 @@ class RTFTracker:
         text = json.dumps(self.report(), indent=2)
         if path:
             with open(path, "w") as f:
+                f.write(text)
+        return text
+
+    def emit_jsonl(self, path: Optional[str] = None, extra: Optional[dict] = None) -> str:
+        """Structured metrics export (SURVEY §5.5 upgrade over the
+        reference's print()-level reporting): one JSON line per stage plus
+        a summary line with derived tokens/s and batch-fill ratios."""
+        lines = []
+        for name, s in self.stages.items():
+            lines.append(
+                json.dumps(
+                    {
+                        "event": "stage",
+                        "stage": name,
+                        "calls": s.calls,
+                        "total_s": round(s.total_s, 4),
+                        "audio_s": round(s.audio_s, 2),
+                        "rtf": round(s.rtf, 2),
+                    }
+                )
+            )
+        total_s = sum(s.total_s for s in self.stages.values())
+        audio_s = max((s.audio_s for s in self.stages.values()), default=0.0)
+        summary = {
+            "event": "summary",
+            "total_s": round(total_s, 4),
+            "audio_s": round(audio_s, 2),
+            "rtf": round(audio_s / total_s, 2) if total_s > 0 else 0.0,
+        }
+        decode = self.stages.get("decode")
+        if self.counters.get("tokens_decoded") and decode and decode.total_s > 0:
+            summary["tokens_per_s"] = round(
+                self.counters["tokens_decoded"] / decode.total_s, 1
+            )
+        if self.counters.get("batch_slots"):
+            summary["batch_fill"] = round(
+                self.counters["batch_used"] / self.counters["batch_slots"], 3
+            )
+        summary.update(extra or {})
+        lines.append(json.dumps(summary))
+        text = "\n".join(lines) + "\n"
+        if path:
+            with open(path, "a") as f:
                 f.write(text)
         return text
 

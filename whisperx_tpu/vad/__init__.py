@@ -56,6 +56,14 @@ def load_vad_model(
             )
         # No converted weights: the energy VAD is the functional fallback
         # (random LSTM weights would produce meaningless segmentation).
+        import warnings
+
+        warnings.warn(
+            "No converted Silero checkpoint (set WHISPERX_TPU_SILERO_CKPT "
+            "or pass model_path); falling back to the weightless energy "
+            "VAD.",
+            stacklevel=2,
+        )
         return EnergyVAD(vad_onset=vad_onset, chunk_size=chunk_size)
     if method == "energy":
         return EnergyVAD(vad_onset=vad_onset, chunk_size=chunk_size)
