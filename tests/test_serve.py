@@ -128,3 +128,106 @@ def test_streaming_transcriber_sync(speech_5s):
     results = st.stop()
     assert results
     assert results[-1]["end"] > 0
+
+
+class FakeCoalescingPipeline(FakePipeline):
+    def __init__(self):
+        super().__init__()
+        self.many_calls = []
+
+    def transcribe_many(self, audios, batch_size=8, **kw):
+        self.many_calls.append(len(audios))
+        return [
+            {
+                "segments": [
+                    {"start": 0.0, "end": len(a) / 16000, "text": f"len{len(a)}"}
+                ],
+                "language": "en",
+            }
+            for a in audios
+        ]
+
+
+def test_batcher_coalesces_across_requests():
+    """Concurrent requests in one bucket go through ONE transcribe_many
+    call with per-request result demux (not N transcribe calls)."""
+    pipe = FakeCoalescingPipeline()
+    batcher = ContinuousBatcher(pipe, BatchConfig(max_wait_ms=200))
+    # enqueue all four BEFORE the worker starts: one drain, one bucket
+    reqs = [
+        batcher.submit(np.zeros(16000 + i, np.float32)) for i in range(4)
+    ]
+    batcher.start()
+    for r in reqs:
+        assert r.done.wait(timeout=20)
+    batcher.stop()
+    assert pipe.calls == []  # per-request path never used
+    assert pipe.many_calls[0] == 4  # first drain coalesced all four
+    for r in reqs:  # each request got ITS OWN result back
+        assert r.result["segments"][0]["text"] == f"len{len(r.audio)}"
+
+
+def test_transcribe_many_coalesces_device_batches(nano_model, monkeypatch):
+    """4 single-chunk requests at batch_size 8 must decode in ONE device
+    batch, and segments must demux to per-request local times."""
+    import whisperx_tpu.asr as asr_mod
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.decoding import get_tokenizer
+    from whisperx_tpu.decoding.decode import DecodingResult
+    from whisperx_tpu.utils.metrics import GLOBAL_TRACKER
+    from whisperx_tpu.vad.types import SpeechSegment
+
+    tok = get_tokenizer(True, language="en")
+    tb = tok.timestamp_begin
+    tokens = [tb, *b" hi", tb + 50]
+
+    decode_calls = []
+
+    def fake_decode(model, mel, opts, **kw):
+        decode_calls.append(mel.shape[0])
+        return [
+            DecodingResult(
+                audio_features=None,
+                language="en",
+                tokens=list(tokens),
+                text="hi",
+                avg_logprob=-0.1,
+                no_speech_prob=0.0,
+                temperature=0.0,
+                compression_ratio=1.0,
+            )
+            for _ in range(mel.shape[0])
+        ]
+
+    monkeypatch.setattr(asr_mod, "decode", fake_decode)
+
+    class StubVAD:
+        vad_onset = 0.5
+        vad_offset = 0.363
+
+        def __call__(self, inp, max_speech_duration_s=30):
+            dur = len(inp["waveform"]) / inp["sample_rate"]
+            return [SpeechSegment(start=1.0, end=min(7.0, dur))]
+
+    pipe = TranscriptionPipeline(
+        model=nano_model,
+        vad_model=StubVAD(),
+        asr_options={
+            "temperatures": (0.0,),
+            "no_speech_threshold": None,
+            "log_prob_threshold": None,
+            "compression_ratio_threshold": None,
+        },
+        language="en",
+        batch_size=8,
+    )
+    audios = [np.zeros(16000 * 8, np.float32) for _ in range(4)]
+    results = pipe.transcribe_many(audios)
+    assert len(decode_calls) == 1  # ONE pooled device batch, not 4
+    assert len(results) == 4
+    for res in results:
+        assert len(res["segments"]) == 1
+        seg = res["segments"][0]
+        # window starts at the request-local chunk start (1.0 s)
+        assert seg["start"] == 1.0 and seg["end"] == 2.0
+        assert seg["text"] == "hi"

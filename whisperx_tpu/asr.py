@@ -196,6 +196,107 @@ class TranscriptionPipeline:
             )
         return {"segments": segments, "language": language}
 
+    def transcribe_many(
+        self,
+        audios: List[np.ndarray],
+        *,
+        batch_size: Optional[int] = None,
+        chunk_size: float = 30,
+        language: Optional[str] = None,
+        task: Optional[str] = None,
+    ) -> List[TranscriptionResult]:
+        """Cross-request coalescing: VAD every audio, pool ALL requests'
+        chunks into one shared decode stream (chunks from different
+        requests fill the same device batch), then demux segments back per
+        request. This is what makes the serving layer a serving layer —
+        the reference batches across requests too
+        (mlx_continuous_batching.py:229-304), but loops the actual decode.
+        """
+        import bisect
+        import math
+
+        batch_size = batch_size or self.batch_size
+        task = task or self.task
+        language = normalize_language(language or self.language)
+        audios = [np.asarray(a, np.float32) for a in audios]
+        if not audios:
+            return []
+        if self.vad_model is None:
+            # the seek loop is stateful per audio; nothing to coalesce
+            return [
+                self.transcribe(
+                    a,
+                    batch_size=batch_size,
+                    chunk_size=chunk_size,
+                    language=language,
+                    task=task,
+                )
+                for a in audios
+            ]
+
+        from whisperx_tpu.utils.metrics import GLOBAL_TRACKER as _tracker
+
+        with _tracker.track("vad", sum(len(a) for a in audios) / SAMPLE_RATE):
+            per_chunks = [self._segment_with_vad(a, chunk_size) for a in audios]
+
+        if language is None:
+            for a, chs in zip(audios, per_chunks):
+                if chs:
+                    if self.model.is_multilingual:
+                        s0 = int(chs[0]["start"] * SAMPLE_RATE)
+                        e0 = int(chs[0]["end"] * SAMPLE_RATE)
+                        language = self.detect_language(a[s0:e0])
+                    else:
+                        language = "en"
+                    break
+            language = language or "en"
+
+        # lay the requests out on one virtual timeline (whole-second bases
+        # with a 1 s guard gap) so the chunk machinery stays unchanged
+        bases: List[float] = []
+        offset = 0.0
+        for a in audios:
+            bases.append(offset)
+            offset += math.ceil(len(a) / SAMPLE_RATE) + 1.0
+        virt = np.zeros(int(offset * SAMPLE_RATE), np.float32)
+        pooled: List[dict] = []
+        for base, a, chs in zip(bases, audios, per_chunks):
+            beg = int(base * SAMPLE_RATE)
+            virt[beg : beg + len(a)] = a
+            for ch in chs:
+                pooled.append(
+                    {
+                        "start": ch["start"] + base,
+                        "end": ch["end"] + base,
+                        "segments": ch.get("segments", []),
+                    }
+                )
+
+        results: List[TranscriptionResult] = [
+            {"segments": [], "language": language} for _ in audios
+        ]
+        if not pooled:
+            return results
+        segments = self._transcribe_chunks(
+            virt, pooled, batch_size=batch_size, language=language, task=task
+        )
+        for seg in segments:
+            r = bisect.bisect_right(bases, seg["start"] + 1e-6) - 1
+            out = dict(seg)
+            out["start"] = round(seg["start"] - bases[r], 3)
+            out["end"] = round(seg["end"] - bases[r], 3)
+            if "words" in seg:
+                out["words"] = [
+                    {
+                        **w,
+                        "start": round(w["start"] - bases[r], 2),
+                        "end": round(w["end"] - bases[r], 2),
+                    }
+                    for w in seg["words"]
+                ]
+            results[r]["segments"].append(out)
+        return results
+
     def _transcribe_chunks_sequential(
         self,
         audio: np.ndarray,

@@ -118,11 +118,12 @@ class DynamicBatchScheduler:
 
 
 class ContinuousBatcher:
-    """Serving loop: queue → bucketed padded batches → pipeline.transcribe.
+    """Serving loop: queue → bucketed padded batches → pooled decode.
 
-    ``pipeline`` is any object with a ``transcribe(audio, batch_size=...)``
-    returning {"segments", "language"} per request audio; batching across
-    requests reuses the pipeline's own chunk batching.
+    When ``pipeline`` exposes ``transcribe_many`` (TranscriptionPipeline
+    does), chunks from ALL requests in a bucket share one decode stream —
+    true cross-request coalescing, not per-request batching. Otherwise it
+    falls back to per-request ``transcribe(audio, batch_size=...)``.
     """
 
     def __init__(self, pipeline, config: Optional[BatchConfig] = None):
@@ -198,10 +199,21 @@ class ContinuousBatcher:
         buckets = bucket_requests(batch, self.config.bucket_boundaries)
         for reqs in buckets.values():
             t0 = time.monotonic()
-            for req in reqs:
-                result = self.pipeline.transcribe(
-                    req.audio, batch_size=self.config.max_batch_size
+            if hasattr(self.pipeline, "transcribe_many"):
+                # cross-request coalescing: one pooled chunk stream fills
+                # shared device batches, results demuxed per request
+                results = self.pipeline.transcribe_many(
+                    [r.audio for r in reqs],
+                    batch_size=self.config.max_batch_size,
                 )
+            else:
+                results = [
+                    self.pipeline.transcribe(
+                        r.audio, batch_size=self.config.max_batch_size
+                    )
+                    for r in reqs
+                ]
+            for req, result in zip(reqs, results):
                 req.result = result
                 req.done.set()
                 if req.callback:
