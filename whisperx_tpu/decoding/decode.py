@@ -93,6 +93,7 @@ class _StaticConfig:
     without_timestamps: bool
     greedy: bool
     kv_quant: bool = False
+    n_head_audio: int = 0  # encoder heads (used by in-jit encoder callers)
 
 
 def _apply_filters(logits, state, cfg: _StaticConfig):

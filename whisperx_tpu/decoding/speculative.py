@@ -15,6 +15,7 @@ Both models must share a tokenizer/vocab (e.g. large-v3 + distil-large-v3).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 from typing import Optional
@@ -66,6 +67,316 @@ def _step(params, tokens, cache_self, cross_kv, offset, n_head):
     return logits, (cache.self_k, cache.self_v)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "d_cfg", "gamma", "shared_encoder")
+)
+def _spec_loop_jit(
+    t_params, d_params, mel, init_arr, cfg, d_cfg, gamma, shared_encoder=False
+):
+    """The WHOLE speculative generate loop as one jitted program (B=1).
+
+    Prefill both models, then a ``lax.while_loop`` whose body:
+
+      1. drafts γ tokens with a ``lax.scan`` whose FIRST step re-feeds the
+         last accepted token — which implicitly repairs the draft cache's
+         mismatch slot from the previous iteration (no conditional
+         fix-up);
+      2. verifies ``[last_accepted, d_1..d_γ]`` in ONE target pass — the
+         leading token likewise repairs the target cache, and the final
+         position's logits provide the standard BONUS token on full
+         acceptance (γ+1 tokens per verify pass);
+      3. accepts the longest agreeing prefix with a γ+1-step scan that
+         carries the filter state.
+
+    Every iteration runs the exact same ops — no ``lax.cond`` — because
+    measured on TPU the conditional cache fix-up dominated the loop
+    (~70 ms/iter of overhead vs ~8 ms for the uniform body). Greedy
+    verification keeps the output token-identical to vanilla greedy
+    decoding of the target.
+
+    Returns (tokens_buf [1, sample_len], n_sampled, sum_logprob,
+    no_speech_prob, proposed, accepted, target_passes).
+    """
+    n_init = init_arr.shape[1]
+    # encoder + cross-KV INSIDE the jitted program: eagerly dispatching the
+    # ~400 encoder ops through the device tunnel cost ~2 s per call
+    t_feats = encoder_forward(t_params, mel, cfg.n_head_audio)
+    d_feats = (
+        t_feats
+        if shared_encoder
+        else encoder_forward(d_params, mel, d_cfg.n_head_audio)
+    )
+    t_cross = precompute_cross_kv(t_params, t_feats, cfg.n_head)
+    d_cross = precompute_cross_kv(d_params, d_feats, d_cfg.n_head)
+    # verify passes write up to γ+1 slots past the sampled count — widen
+    # the self-cache budget accordingly
+    pad_cfg = dataclasses.replace(cfg, sample_len=cfg.sample_len + gamma + 1)
+    pad_d_cfg = dataclasses.replace(d_cfg, sample_len=d_cfg.sample_len + gamma + 1)
+    t_self = init_kv_cache_like(t_params, 1, pad_cfg, n_init=n_init)
+    d_self = init_kv_cache_like(d_params, 1, pad_d_cfg, n_init=n_init)
+
+    # cross-KV is read-only: close over it instead of threading it through
+    # the while/scan carries
+    def t_forward(tokens, self_kv, offset):
+        cache = KVCache(self_kv[0], self_kv[1], t_cross[0], t_cross[1])
+        logits, cache, _ = decoder_forward(
+            t_params, tokens, cache, offset, cfg.n_head
+        )
+        return logits, (cache.self_k, cache.self_v)
+
+    def d_forward(tokens, self_kv, offset):
+        cache = KVCache(self_kv[0], self_kv[1], d_cross[0], d_cross[1])
+        logits, cache, _ = decoder_forward(
+            d_params, tokens, cache, offset, d_cfg.n_head
+        )
+        return logits, (cache.self_k, cache.self_v)
+
+    t_logits, t_self = t_forward(init_arr, t_self, jnp.int32(0))
+    _, d_self = d_forward(init_arr[:, :-1], d_self, jnp.int32(0))
+    no_speech_prob = jax.nn.softmax(
+        t_logits[:, cfg.sot_index].astype(jnp.float32), -1
+    )[0, cfg.no_speech_token]
+
+    # γ+1 slack so the vectorized acceptance can write a full window
+    n_vocab = t_params["decoder"]["tok_emb"].shape[0]
+    sup_add = (
+        jnp.zeros((n_vocab,), jnp.float32)
+        .at[jnp.asarray(list(cfg.suppress), jnp.int32)]
+        .set(F.NEG_INF)
+        if cfg.suppress
+        else jnp.zeros((n_vocab,), jnp.float32)
+    )
+    blank_mask = (
+        jnp.zeros((n_vocab,), bool)
+        .at[jnp.asarray(list(cfg.blank_tokens) + [cfg.eot])]
+        .set(True)
+        if cfg.blank_tokens
+        else jnp.zeros((n_vocab,), bool)
+    )
+    tokens_buf = jnp.full((1, cfg.sample_len + gamma + 1), cfg.eot, jnp.int32)
+    state0 = F.init_filter_state(init_arr)
+    carry = (
+        tokens_buf,
+        jnp.int32(0),  # n sampled
+        jnp.bool_(False),  # finished
+        jnp.float32(0.0),  # sum logprob
+        state0,
+        t_self,
+        d_self,
+        init_arr[:, -1],  # last accepted token [1]
+        jnp.int32(0),  # proposed
+        jnp.int32(0),  # accepted
+        jnp.int32(0),  # target passes
+    )
+
+    def cond(c):
+        _, n, finished, *_ = c
+        return (~finished) & (n < cfg.sample_len)
+
+    def body(c):
+        (buf, n, finished, sum_lp, state, t_c, d_c, last_tok, prop, acc, tp) = c
+        # slot of the last accepted token (first iteration: the final
+        # prompt token — recomputing its K/V is idempotent)
+        pos = n_init + n - 1
+
+        # --- draft proposes gamma tokens; step 1 re-feeds last_tok ------
+        def draft_step(dc, _):
+            d_state, prev, self_kv, p = dc
+            nl, self_kv = d_forward(prev[:, None], self_kv, p)
+            if cfg.without_timestamps:
+                # static additive suppress mask fuses into the logits add —
+                # the generic filter chain's per-step scatters cost ~1 ms
+                fl = nl[:, -1].astype(jnp.float32) + sup_add[None]
+                fl = jnp.where(
+                    (d_state.step == 0) & blank_mask[None], F.NEG_INF, fl
+                )
+            else:
+                fl = _apply_filters(nl[:, -1], d_state, d_cfg)
+            tok = jnp.argmax(fl, -1).astype(jnp.int32)  # [1]
+            d_state = F.update_filter_state(d_state, tok, cfg.timestamp_begin)
+            return (d_state, tok, self_kv, p + 1), tok[0]
+
+        (_, _, d_c, _), draft_toks = jax.lax.scan(
+            draft_step, (state, last_tok, d_c, pos), None, length=gamma
+        )  # draft_toks: [gamma]
+
+        # --- ONE target pass: repair slot + verify + bonus logits -------
+        verify_in = jnp.concatenate([last_tok[:, None], draft_toks[None]], 1)
+        v_logits, t_c = t_forward(verify_in, t_c, pos)  # [1, gamma+1, V]
+
+        # --- accept the longest agreeing prefix (+ bonus token) ---------
+        # position j's target choice comes from v_logits[:, j]; j == gamma
+        # is the bonus slot, whose sentinel never matches a draft
+        if cfg.without_timestamps:
+            # no timestamp grammar → the filter chain is position-wise
+            # independent (suppress lists + first-token blank mask), so the
+            # whole acceptance computes as vector math — no γ+1-step scan
+            # (the scan's per-step filter ops cost ~1 ms each on TPU)
+            js = jnp.arange(gamma + 1)
+            fl = v_logits.astype(jnp.float32) + sup_add[None, None]
+            if cfg.blank_tokens:
+                first_pos = (state.step + js) == 0  # [γ+1]
+                fl = jnp.where(
+                    first_pos[None, :, None] & blank_mask[None, None, :],
+                    F.NEG_INF,
+                    fl,
+                )
+            choices = jnp.argmax(fl, -1).astype(jnp.int32)[0]  # [γ+1]
+            lps = jnp.take_along_axis(
+                jax.nn.log_softmax(fl[0], -1), choices[:, None], axis=-1
+            )[:, 0]  # [γ+1]
+            match = jnp.concatenate(
+                [choices[:gamma] == draft_toks, jnp.zeros((1,), bool)]
+            )
+            is_eot = choices == cfg.eot
+            # position j written iff every earlier position matched and was
+            # not EOT, and the buffer slot exists
+            ok = match & ~is_eot
+            prior_ok = jnp.concatenate(
+                [jnp.ones((1,), bool), jnp.cumprod(ok[:-1]).astype(bool)]
+            )
+            keep = prior_ok & (n + js < cfg.sample_len)
+            w = keep.sum().astype(jnp.int32)
+            window = jax.lax.dynamic_slice(buf, (0, n), (1, gamma + 1))
+            window = jnp.where(keep[None], choices[None], window)
+            buf = jax.lax.dynamic_update_slice(buf, window, (0, n))
+            sum_lp = sum_lp + jnp.sum(jnp.where(keep, lps, 0.0))
+            n_match = jnp.sum(keep[:gamma] & match[:gamma]).astype(jnp.int32)
+            finished = finished | jnp.any(keep & is_eot)
+            # rebuild the filter state after the written run (no timestamp
+            # fields change in this mode)
+            last_written = choices[jnp.maximum(w - 1, 0)]
+            penult_written = jnp.where(
+                w >= 2, choices[jnp.maximum(w - 2, 0)], state.last_token[0]
+            )
+            state = F.FilterState(
+                last_token=last_written[None],
+                penult_token=penult_written[None],
+                last_timestamp=state.last_timestamp,
+                has_timestamp=state.has_timestamp,
+                step=state.step + w,
+            )
+        else:
+            draft_ext = jnp.concatenate(
+                [draft_toks, jnp.full((1,), -1, jnp.int32)]
+            )
+
+            def acc_step(ac, j):
+                v_state, writing, w, s_lp, b, fin, n_match = ac
+                fl = _apply_filters(v_logits[:, j], v_state, cfg)
+                choice = jnp.argmax(fl, -1).astype(jnp.int32)  # [1]
+                lp = jax.nn.log_softmax(fl, -1)[0, choice[0]]
+                write = writing & (n + j < cfg.sample_len)
+                b = jnp.where(
+                    write,
+                    jax.lax.dynamic_update_slice(b, choice[:, None], (0, n + j)),
+                    b,
+                )
+                s_lp = s_lp + jnp.where(write, lp, 0.0)
+                new_state = F.update_filter_state(v_state, choice, cfg.timestamp_begin)
+                v_state = jax.tree_util.tree_map(
+                    lambda a, bb: jnp.where(write, bb, a), v_state, new_state
+                )
+                match = choice[0] == draft_ext[j]
+                is_eot = choice[0] == cfg.eot
+                w = w + jnp.where(write, 1, 0)
+                n_match = n_match + jnp.where(write & match & (j < gamma), 1, 0)
+                fin = fin | (write & is_eot)
+                writing = writing & match & ~is_eot
+                return (v_state, writing, w, s_lp, b, fin, n_match), None
+
+            (state, _, w, sum_lp, buf, finished, n_match), _ = jax.lax.scan(
+                acc_step,
+                (state, jnp.bool_(True), jnp.int32(0), sum_lp, buf, finished, jnp.int32(0)),
+                jnp.arange(gamma + 1),
+            )
+
+        new_n = n + w
+        last_tok2 = jax.lax.dynamic_slice(buf, (0, new_n - 1), (1, 1))[:, 0]
+        return (
+            buf,
+            new_n,
+            finished,
+            sum_lp,
+            state,
+            t_c,
+            d_c,
+            last_tok2,
+            prop + gamma,
+            acc + n_match,
+            tp + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, carry)
+    buf, n, _, sum_lp, *_ = out
+    prop, acc, tp = out[8], out[9], out[10]
+    return buf, n, sum_lp, no_speech_prob, prop, acc, tp, t_feats
+
+
+
+def truncated_self_draft(model, n_layers: int):
+    """Self-draft: the target's own first ``n_layers`` decoder blocks
+    (weights shared, nothing copied). Pairs with ``zero_tail_model`` for an
+    exact-agreement mechanism benchmark, and models distil-style drafts
+    (reference Medusa aspiration, mlx_medusa.py:274-324) without a second
+    checkpoint."""
+    from whisperx_tpu.models.whisper import Whisper
+
+    dec = dict(model.params["decoder"])
+    dec["blocks"] = list(model.params["decoder"]["blocks"][:n_layers])
+    params = {**model.params, "decoder": dec}
+    dims = dataclasses.replace(model.dims, n_text_layer=n_layers)
+    return Whisper(
+        dims,
+        params,
+        dtype=model.dtype,
+        name=f"{model.name}-draft{n_layers}",
+        vocab_path=model.vocab_path,
+    )
+
+
+def zero_tail_model(model, keep_layers: int):
+    """Zero the output projections of every decoder block past
+    ``keep_layers`` — with pre-LN residual blocks those layers become exact
+    identities, so ``truncated_self_draft(model, keep_layers)`` agrees with
+    the full model EXACTLY while the full model still pays for reading all
+    its weights. This isolates the speculative mechanism's speedup at
+    acceptance = 1 (its upper bound) with random weights."""
+    from whisperx_tpu.models.whisper import Whisper
+
+    def zeroed(lin):
+        out = dict(lin)
+        out["w"] = jnp.zeros_like(lin["w"])
+        if lin.get("b") is not None:
+            out["b"] = jnp.zeros_like(lin["b"])
+        return out
+
+    blocks = []
+    for i, blk in enumerate(model.params["decoder"]["blocks"]):
+        if i < keep_layers:
+            blocks.append(blk)
+            continue
+        nb = {k: v for k, v in blk.items()}
+        nb["attn"] = {**blk["attn"], "out": zeroed(blk["attn"]["out"])}
+        if "cross_attn" in nb:
+            nb["cross_attn"] = {
+                **blk["cross_attn"],
+                "out": zeroed(blk["cross_attn"]["out"]),
+            }
+        nb["mlp2"] = zeroed(blk["mlp2"])
+        blocks.append(nb)
+    dec = {**model.params["decoder"], "blocks": blocks}
+    params = {**model.params, "decoder": dec}
+    return Whisper(
+        model.dims,
+        params,
+        dtype=model.dtype,
+        name=f"{model.name}-zerotail{keep_layers}",
+        alignment_heads=model.alignment_heads,
+        vocab_path=model.vocab_path,
+    )
+
+
 class SpeculativeDecoder:
     def __init__(self, target_model, draft_model, gamma: int = 4):
         assert target_model.dims.n_vocab == draft_model.dims.n_vocab, (
@@ -75,6 +386,97 @@ class SpeculativeDecoder:
         self.draft = draft_model
         self.gamma = gamma
         self.stats = SpecStats()
+
+    def decode_jit(
+        self,
+        mel: jnp.ndarray,  # [T, n_mels]
+        options: DecodingOptions = DecodingOptions(),
+        tokenizer=None,
+    ) -> DecodingResult:
+        """Fully-jitted speculative decode: the whole draft→verify→accept
+        loop runs on device as one program (_spec_loop_jit) — no host
+        round-trips per token. Output is token-identical to plain greedy
+        decoding of the target."""
+        tokenizer, initial, cfg, d_cfg = self._configs(options, tokenizer)
+        init_arr = jnp.asarray(initial, jnp.int32)[None]
+        shared_encoder = self.draft.params.get("encoder") is self.target.params.get(
+            "encoder"
+        )
+        buf, n, sum_lp, nsp, prop, acc, tp, t_feats = _spec_loop_jit(
+            self.target.params,
+            self.draft.params,
+            mel[None].astype(self.target.dtype),
+            init_arr,
+            cfg,
+            d_cfg,
+            self.gamma,
+            shared_encoder=shared_encoder,
+        )
+        n = int(n)
+        tokens = np.asarray(buf)[0, :n].tolist()
+        # the loop writes EOT into the buffer like any other token; strip it
+        if tokens and tokens[-1] == cfg.eot:
+            tokens.pop()
+        self.stats.proposed += int(prop)
+        self.stats.accepted += int(acc)
+        self.stats.target_steps += int(tp)
+        text = tokenizer.decode(tokens).strip()
+        return DecodingResult(
+            audio_features=t_feats[0],
+            language=options.language or "en",
+            tokens=tokens,
+            text=text,
+            avg_logprob=float(sum_lp) / (len(tokens) + 1),
+            no_speech_prob=float(nsp),
+            temperature=0.0,
+            compression_ratio=compression_ratio(text) if text else float("nan"),
+        )
+
+    def _configs(self, options: DecodingOptions, tokenizer=None):
+        if tokenizer is None:
+            from whisperx_tpu.decoding.tokenizer import get_tokenizer
+
+            tokenizer = get_tokenizer(
+                self.target.is_multilingual,
+                num_languages=self.target.num_languages,
+                language=options.language or "en",
+                task=options.task,
+                vocab_path=self.target.vocab_path,
+            )
+        initial = _build_initial_tokens(tokenizer, options)
+        n_init = len(initial)
+        sample_len = options.sample_len or self.target.dims.n_text_ctx // 2
+        cfg = _StaticConfig(
+            n_head=self.target.dims.n_text_head,
+            n_text_ctx=self.target.dims.n_text_ctx,
+            n_head_audio=self.target.dims.n_audio_head,
+            eot=tokenizer.eot,
+            sot_index=initial.index(tokenizer.sot),
+            no_speech_token=tokenizer.no_speech,
+            timestamp_begin=tokenizer.timestamp_begin,
+            no_timestamps=tokenizer.no_timestamps,
+            sample_len=min(sample_len, self.target.dims.n_text_ctx - n_init),
+            max_initial_timestamp_index=(
+                round(options.max_initial_timestamp / 0.02)
+                if options.max_initial_timestamp is not None
+                else None
+            ),
+            blank_tokens=tuple(tokenizer.encode(" "))
+            if options.suppress_blank
+            else (),
+            suppress=F.build_suppress_list(tokenizer, options.suppress_tokens),
+            without_timestamps=options.without_timestamps,
+            greedy=True,
+        )
+        d_cfg = _StaticConfig(
+            **{
+                **cfg.__dict__,
+                "n_head": self.draft.dims.n_text_head,
+                "n_text_ctx": self.draft.dims.n_text_ctx,
+                "n_head_audio": self.draft.dims.n_audio_head,
+            },
+        )
+        return tokenizer, initial, cfg, d_cfg
 
     def decode(
         self,
