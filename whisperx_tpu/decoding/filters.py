@@ -58,19 +58,26 @@ def update_filter_state(
     )
 
 
+def _id_mask(n_vocab: int, ids) -> jnp.ndarray:
+    """Boolean vocab mask. Built from constants, so XLA hoists it out of
+    the decode loop — the per-step op is then a fused select instead of a
+    scatter (scatters inside the loop measured ~ms each on TPU)."""
+    return jnp.zeros((n_vocab,), bool).at[jnp.asarray(ids)].set(True)
+
+
 def suppress_blank(
     logits: jnp.ndarray, state: FilterState, blank_tokens: Tuple[int, ...], eot: int
 ) -> jnp.ndarray:
     """At the first sampled position, forbid blank/EOT openings."""
-    ids = jnp.asarray(list(blank_tokens) + [eot])
-    masked = logits.at[:, ids].set(NEG_INF)
-    return jnp.where(state.step == 0, masked, logits)
+    mask = _id_mask(logits.shape[-1], list(blank_tokens) + [eot])
+    return jnp.where((state.step == 0) & mask[None], NEG_INF, logits)
 
 
 def suppress_tokens(logits: jnp.ndarray, token_ids: Tuple[int, ...]) -> jnp.ndarray:
     if not token_ids:
         return logits
-    return logits.at[:, jnp.asarray(token_ids)].set(NEG_INF)
+    mask = _id_mask(logits.shape[-1], token_ids)
+    return jnp.where(mask[None], NEG_INF, logits)
 
 
 def apply_timestamp_rules(

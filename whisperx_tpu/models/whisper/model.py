@@ -339,6 +339,10 @@ def decoder_forward(
 
     for i, blk in enumerate(dec["blocks"]):
         h = layer_norm(blk["attn_ln"], x)
+        # (measured: fusing q/k/v into one [D,3D] matmul changes the decode
+        # step 8.03 → 7.92 ms — XLA's launch overhead is not the
+        # bottleneck, and the hoisted concat costs 315 MB of HBM; see
+        # docs/PERFORMANCE.md negative results)
         q = _split_heads(linear(blk["attn"]["query"], h), n_head)
         k = _split_heads(linear(blk["attn"]["key"], h), n_head)
         v = _split_heads(linear(blk["attn"]["value"], h), n_head)
