@@ -30,7 +30,12 @@ def synth_speech(duration_s: float, sr: int = 16000, seed: int = 0) -> np.ndarra
     env = 0.5 * (1 + np.sin(2 * np.pi * 3.1 * t))
     gaps = (np.sin(2 * np.pi * 0.13 * t) > -0.85).astype(np.float64)
     out = sig * env * gaps + 0.005 * rng.standard_normal(len(t))
-    return (0.3 * out / np.abs(out).max()).astype(np.float32)
+    out = (0.3 * out / np.abs(out).max()).astype(np.float32)
+    # quantize to the int16 PCM grid, like real decoded audio — this also
+    # lets the pipeline upload int16 over the slow device tunnel
+    return (np.round(out * 32768.0).clip(-32768, 32767) / 32768.0).astype(
+        np.float32
+    )
 
 
 def spec_main():

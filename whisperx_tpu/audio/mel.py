@@ -192,6 +192,9 @@ def log_mel_batch(
     cheaper than a recompile per distinct chunk count."""
     import numpy as np
 
+    # device arrays stay on device (callers pre-upload to skip the slow
+    # host tunnel); numpy input pads on host as before
+    xp = jnp if isinstance(audio, jnp.ndarray) else np
     n = audio.shape[0]
     bucket = 1
     while bucket < min(n, max_batch):
@@ -200,8 +203,13 @@ def log_mel_batch(
     for i in range(0, n, bucket):
         part = audio[i : i + bucket]
         if part.shape[0] < bucket:
-            part = np.concatenate(
-                [part, np.zeros((bucket - part.shape[0], audio.shape[1]), np.float32)]
+            part = xp.concatenate(
+                [
+                    part,
+                    xp.zeros(
+                        (bucket - part.shape[0], audio.shape[1]), xp.float32
+                    ),
+                ]
             )
         parts.append(_log_mel_batch_jit(jnp.asarray(part, jnp.float32), n_mels))
     out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]

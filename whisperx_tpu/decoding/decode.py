@@ -290,6 +290,7 @@ def decode(
     *,
     tokenizer=None,
     rng: Optional[jax.Array] = None,
+    keep_audio_features: bool = False,
 ) -> Union[DecodingResult, List[DecodingResult]]:
     """Decode 30 s mel segment(s). ``mel``: [T, n_mels] or [B, T, n_mels].
 
@@ -442,7 +443,9 @@ def decode(
         avg_lp = float(sum_lp[i] / (lengths_np[i] + 1))
         results.append(
             DecodingResult(
-                audio_features=audio_features[i],
+                # per-row slicing dispatches a device op each — only pay
+                # for it when the caller wants the features
+                audio_features=audio_features[i] if keep_audio_features else None,
                 language=language,
                 language_probs=language_probs[i],
                 tokens=toks,
