@@ -212,9 +212,14 @@ def encoder_forward(params: Params, mel: jnp.ndarray, n_head: int) -> jnp.ndarra
 
 
 def _use_flash_attention() -> bool:
+    # Default ON since round 2: the Pallas kernel saves the materialized
+    # [B,H,1500,1500] score traffic (138 → 144× e2e RTF, same-day A/B).
+    # Round 1 measured "parity" with a timer that didn't sync through the
+    # device tunnel. flash_attention() still falls back to XLA on CPU and
+    # below its score-size threshold; WHISPERX_TPU_FLASH=0 disables.
     import os
 
-    return os.environ.get("WHISPERX_TPU_FLASH", "0") == "1"
+    return os.environ.get("WHISPERX_TPU_FLASH", "1") == "1"
 
 
 def _encoder_block(p, x, n_head):
