@@ -195,8 +195,9 @@ def main():
     warm = audio[: 16000 * 60]
     pipeline.transcribe(warm, batch_size=batch_size)
 
-    # best-of-N guards against transient device-tunnel contention
-    repeats = int(os.environ.get("WHISPERX_TPU_BENCH_REPEATS", 2))
+    # best-of-N guards against transient device-tunnel contention (the
+    # tunnel drifts up to ~1.7x across minutes; 3 repeats ≈ 40 s)
+    repeats = int(os.environ.get("WHISPERX_TPU_BENCH_REPEATS", 3))
     elapsed = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
