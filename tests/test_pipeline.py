@@ -113,7 +113,10 @@ def test_batched_subchunk_timestamps_and_words(nano_model, monkeypatch):
             for _ in range(mel.shape[0])
         ]
 
-    monkeypatch.setattr(asr_mod, "decode", fake_decode)
+    def fake_dispatch(model, mel, opts, **kw):
+        return {"done": fake_decode(model, mel, opts, **kw)}
+
+    monkeypatch.setattr(asr_mod, "decode_dispatch", fake_dispatch)
 
     class OneChunkVAD:
         vad_onset = 0.5

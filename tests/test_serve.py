@@ -199,7 +199,10 @@ def test_transcribe_many_coalesces_device_batches(nano_model, monkeypatch):
             for _ in range(mel.shape[0])
         ]
 
-    monkeypatch.setattr(asr_mod, "decode", fake_decode)
+    def fake_dispatch(model, mel, opts, **kw):
+        return {"done": fake_decode(model, mel, opts, **kw)}
+
+    monkeypatch.setattr(asr_mod, "decode_dispatch", fake_dispatch)
 
     class StubVAD:
         vad_onset = 0.5

@@ -30,6 +30,7 @@ from whisperx_tpu.audio import (
     pad_or_trim,
 )
 from whisperx_tpu.decoding import DecodingOptions, decode, get_tokenizer
+from whisperx_tpu.decoding.decode import decode_dispatch, decode_finalize
 from whisperx_tpu.decoding.decode import detect_language as _detect_language
 from whisperx_tpu.types import TranscriptionResult
 from whisperx_tpu.utils.languages import normalize_language
@@ -454,6 +455,10 @@ class TranscriptionPipeline:
             else:
                 bs_eff = batch_size
             still_pending = []
+            # two-phase: dispatch every group first (JAX queues them on
+            # device), then materialize — converting between groups would
+            # leave the device idle during each host round-trip
+            handles = []
             for base in range(0, len(pending), bs_eff):
                 idxs = pending[base : base + bs_eff]
                 rows = mels[jnp.asarray(idxs)]  # device gather
@@ -467,12 +472,14 @@ class TranscriptionPipeline:
                             ),
                         ]
                     )
+                handles.append((idxs, decode_dispatch(self.model, rows, opts)))
+                _tracker.add("batch_slots", bs_eff)
+                _tracker.add("batch_used", len(idxs))
+            for gi, (idxs, handle) in enumerate(handles):
                 with _tracker.track(
                     "decode", sum(chunks[i]["end"] - chunks[i]["start"] for i in idxs)
                 ):
-                    batch_results = decode(self.model, rows, opts)
-                _tracker.add("batch_slots", bs_eff)
-                _tracker.add("batch_used", len(idxs))
+                    batch_results = decode_finalize(handle)
                 for j, idx in enumerate(idxs):
                     r = batch_results[j]
                     _tracker.add("tokens_decoded", len(r.tokens))
@@ -481,7 +488,11 @@ class TranscriptionPipeline:
                     else:
                         results[idx] = r
                 if print_progress:
-                    done = len(chunks) - len(pending) + base + len(idxs)
+                    done = (
+                        len(chunks)
+                        - len(pending)
+                        + (gi + 1) * bs_eff
+                    )
                     print(f"Progress: {min(100, 100 * done // len(chunks))}%...")
             pending = still_pending
 

@@ -297,6 +297,33 @@ def decode(
     API parity with ``mlx_whisper.decoding.decode`` as used at reference
     backends/mlx_lightning.py:187-196, generalized to true batching.
     """
+    return decode_finalize(
+        decode_dispatch(
+            model,
+            mel,
+            options,
+            tokenizer=tokenizer,
+            rng=rng,
+            keep_audio_features=keep_audio_features,
+        )
+    )
+
+
+def decode_dispatch(
+    model,
+    mel: jnp.ndarray,
+    options: DecodingOptions = DecodingOptions(),
+    *,
+    tokenizer=None,
+    rng: Optional[jax.Array] = None,
+    keep_audio_features: bool = False,
+) -> dict:
+    """Launch the jitted decode and return device handles WITHOUT
+    materializing results. ``decode_finalize`` converts. Splitting the two
+    lets callers dispatch the next batch while the device still executes
+    this one — each host round-trip through the device tunnel costs tens
+    of ms, and blocking conversion between batches serializes them.
+    """
     single = mel.ndim == 2
     if single:
         mel = mel[None]
@@ -398,7 +425,7 @@ def decode(
                     compression_ratio=compression_ratio(text) if text else np.nan,
                 )
             )
-        return results[0] if single else results
+        return {"done": results[0] if single else results}
 
     # best_of: at temperature > 0, sample n independent candidates per mel
     # row (upstream GreedyDecoder n_group semantics) and keep the one with
@@ -422,6 +449,35 @@ def decode(
         jnp.float32(max(options.temperature, 1e-6)),
         cfg,
     )
+    return {
+        "device": (tokens_buf, lengths, sum_logprobs, no_speech_probs, audio_features),
+        "b": b,
+        "n_cand": n_cand,
+        "single": single,
+        "tokenizer": tokenizer,
+        "language": language,
+        "language_probs": language_probs,
+        "options": options,
+        "keep_audio_features": keep_audio_features,
+    }
+
+
+def decode_finalize(handle: dict) -> Union[DecodingResult, List[DecodingResult]]:
+    """Materialize the results of a ``decode_dispatch`` call (blocks on the
+    device)."""
+    if "done" in handle:
+        return handle["done"]
+    tokens_buf, lengths, sum_logprobs, no_speech_probs, audio_features = handle[
+        "device"
+    ]
+    b = handle["b"]
+    n_cand = handle["n_cand"]
+    single = handle["single"]
+    tokenizer = handle["tokenizer"]
+    language = handle["language"]
+    language_probs = handle["language_probs"]
+    options = handle["options"]
+    keep_audio_features = handle["keep_audio_features"]
 
     tokens_np = np.asarray(tokens_buf)
     lengths_np = np.asarray(lengths)
