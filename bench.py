@@ -69,7 +69,7 @@ def spec_main():
     model_name = os.environ.get(
         "WHISPERX_TPU_BENCH_MODEL", "large-v3" if on_tpu else "test-nano"
     )
-    gamma = int(os.environ.get("WHISPERX_TPU_BENCH_GAMMA", 4))
+    gamma = int(os.environ.get("WHISPERX_TPU_BENCH_GAMMA", 8))
     sample_len = int(os.environ.get("WHISPERX_TPU_BENCH_SAMPLE_LEN", 128))
 
     from whisperx_tpu.decoding import DecodingOptions, decode
