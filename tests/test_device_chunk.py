@@ -1,0 +1,160 @@
+"""Device-side chunking parity (audio/device_chunk.py).
+
+The resident-waveform path (one upload → device VAD probs → device chunk
+gather → mel) must reproduce the former host path exactly: same mels as
+host-sliced `log_mel_batch`, same VAD probs/segments as the numpy pass.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import synth_speech
+from whisperx_tpu.audio.constants import N_SAMPLES, SAMPLE_RATE
+from whisperx_tpu.audio.device_chunk import (
+    AUDIO_BUCKET,
+    DeviceAudio,
+    chunk_mels,
+    upload_audio,
+)
+from whisperx_tpu.audio.mel import log_mel_batch
+
+
+def _host_chunk_mels(audio: np.ndarray, chunks, n_mels: int) -> np.ndarray:
+    """The former asr.py host slice loop, kept as the parity oracle."""
+    padded = np.zeros((len(chunks), N_SAMPLES), np.float32)
+    for i, ch in enumerate(chunks):
+        s = int(ch["start"] * SAMPLE_RATE)
+        e = min(int(ch["end"] * SAMPLE_RATE), len(audio))
+        n = min(e - s, N_SAMPLES)
+        padded[i, :n] = audio[s : s + n]
+    return np.asarray(log_mel_batch(padded, n_mels))
+
+
+def test_upload_audio_bucketed_and_lossless():
+    audio = synth_speech(7.0)  # PCM-quantized? not necessarily — check both
+    dev = upload_audio(audio)
+    assert dev.length == len(audio)
+    assert dev.data.shape[0] == AUDIO_BUCKET
+    np.testing.assert_array_equal(np.asarray(dev.data[: len(audio)]), audio)
+    assert float(jnp.abs(dev.data[len(audio) :]).max()) == 0.0
+    # idempotent
+    assert upload_audio(dev) is dev
+
+
+def test_upload_audio_int16_exact_roundtrip():
+    rng = np.random.default_rng(3)
+    pcm = (
+        rng.integers(-32768, 32768, size=SAMPLE_RATE).astype(np.float32) / 32768.0
+    )
+    dev = upload_audio(pcm)
+    np.testing.assert_array_equal(np.asarray(dev.data[: len(pcm)]), pcm)
+
+
+def test_chunk_mels_matches_host_slice_path():
+    audio = synth_speech(70.0)
+    chunks = [
+        {"start": 0.0, "end": 28.3},
+        {"start": 28.3, "end": 58.3},
+        {"start": 58.3, "end": 70.0},  # short tail → zero-padded
+    ]
+    dev = upload_audio(audio)
+    got = np.asarray(chunk_mels(dev, chunks, 80))
+    want = _host_chunk_mels(audio, chunks, 80)
+    assert got.shape == want.shape == (3, 3000, 80)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_chunk_mels_bucket_padding_rows_discarded():
+    audio = synth_speech(40.0)
+    chunks = [{"start": 1.0, "end": 29.0}, {"start": 29.0, "end": 40.0}, {"start": 0.0, "end": 30.0}]
+    dev = upload_audio(audio)
+    got = np.asarray(chunk_mels(dev, chunks, 80))  # n=3 → bucket 4
+    want = _host_chunk_mels(audio, chunks, 80)
+    assert got.shape[0] == 3
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_energy_vad_device_probs_match_host():
+    from whisperx_tpu.vad.energy import EnergyVAD, _energy_probs_jit
+
+    audio = synth_speech(23.0)
+    v = EnergyVAD()
+    p_host = v.speech_probs(audio)
+    dev = upload_audio(audio)
+    t = -(-len(audio) // 512)
+    p_dev = np.asarray(_energy_probs_jit(dev.data, t))[:t]
+    assert p_dev.shape == p_host.shape
+    np.testing.assert_allclose(p_dev, p_host, atol=1e-4)
+
+
+def test_energy_vad_device_segments_match_host():
+    from whisperx_tpu.vad.energy import EnergyVAD
+
+    audio = synth_speech(23.0)
+    v = EnergyVAD()
+    segs_h = v({"waveform": audio, "sample_rate": SAMPLE_RATE})
+    dev = upload_audio(audio)
+    segs_d = v(
+        {"waveform": dev.data, "sample_rate": SAMPLE_RATE, "length": dev.length}
+    )
+    assert [(s.start, s.end) for s in segs_d] == [(s.start, s.end) for s in segs_h]
+    assert len(segs_h) > 0
+
+
+def test_silero_device_probs_match_host():
+    from whisperx_tpu.vad.silero import SileroVAD
+
+    audio = synth_speech(9.0)
+    v = SileroVAD()  # random weights: prob parity is what matters
+    p_host = v.speech_probs(audio)
+    dev = upload_audio(audio)
+    t = -(-len(audio) // 512)
+    p_dev = np.asarray(v.speech_probs(dev.data))[:t]
+    np.testing.assert_allclose(p_dev, p_host, atol=1e-5)
+
+
+def test_pipeline_device_path_matches_host_path(nano_model):
+    """End-to-end: transcribe() (device-resident path) vs the same decode
+    driven by host-sliced mels — identical segments."""
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.vad import load_vad_model
+
+    audio = synth_speech(12.0)
+    pipe = TranscriptionPipeline(
+        model=nano_model,
+        vad_model=load_vad_model("energy"),
+        asr_options={"temperatures": (0.0,), "sample_len": 16},
+        language="en",
+    )
+    result = pipe.transcribe(audio, batch_size=2)
+
+    # oracle: identical chunks, host-sliced mels through the same decoder
+    dev = upload_audio(audio)
+    chunks = pipe._segment_with_vad(dev, 30)
+    mels = jnp.asarray(_host_chunk_mels(audio, chunks, nano_model.dims.n_mels))
+    segments = pipe._transcribe_chunks(
+        None, chunks, batch_size=2, language="en", task="transcribe", mels=mels
+    )
+    assert result["segments"] == segments
+
+
+def test_transcribe_many_pooled_mels(nano_model):
+    """Cross-request coalescing without the virtual host timeline: each
+    request's segments come back in its own time base."""
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.vad import load_vad_model
+
+    a1 = synth_speech(8.0, seed=1)
+    a2 = synth_speech(5.0, seed=2)
+    pipe = TranscriptionPipeline(
+        model=nano_model,
+        vad_model=load_vad_model("energy"),
+        asr_options={"temperatures": (0.0,), "sample_len": 12},
+        language="en",
+    )
+    many = pipe.transcribe_many([a1, a2], batch_size=4)
+    solo = [pipe.transcribe(a, batch_size=4) for a in (a1, a2)]
+    assert len(many) == 2
+    for m, s in zip(many, solo):
+        assert m["segments"] == s["segments"]

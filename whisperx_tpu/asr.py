@@ -69,16 +69,12 @@ DEFAULT_VAD_OPTIONS = {
 }
 
 
-def _audio_to_device(padded: np.ndarray) -> jnp.ndarray:
-    """Upload audio, as int16 when it is PCM-exact (lossless): the device
-    tunnel moves ~40 MB/s, so halving the payload saves seconds on long
-    audio. Values of the form k/32768 scale to exact integers in f32, so
-    the check is a bitwise guarantee, not a tolerance."""
-    scaled = padded * 32768.0
-    a16 = np.round(scaled)
-    if np.abs(scaled - a16).max() == 0.0 and np.abs(a16).max() <= 32767:
-        return jnp.asarray(a16.astype(np.int16)).astype(jnp.float32) / 32768.0
-    return jnp.asarray(padded)
+from whisperx_tpu.audio.device_chunk import (  # noqa: E402
+    DeviceAudio,
+    chunk_mels,
+    to_device as _audio_to_device,
+    upload_audio,
+)
 
 
 def _max_decode_rows(model, *, kv_quant: bool = False) -> int:
@@ -177,8 +173,11 @@ class TranscriptionPipeline:
                 "language": result["language"],
             }
 
+        # Device-side chunking: ONE upload of the raw waveform; VAD probs,
+        # chunk slicing, and mels all read the resident array.
+        audio_dev = upload_audio(audio)
         with _tracker.track("vad", len(audio) / SAMPLE_RATE):
-            chunks = self._segment_with_vad(audio, chunk_size)
+            chunks = self._segment_with_vad(audio_dev, chunk_size)
         if not chunks:
             return {"segments": [], "language": language or "en"}
 
@@ -199,7 +198,7 @@ class TranscriptionPipeline:
             )
         else:
             segments = self._transcribe_chunks(
-                audio,
+                audio_dev,
                 chunks,
                 batch_size=batch_size,
                 language=language,
@@ -249,8 +248,9 @@ class TranscriptionPipeline:
 
         from whisperx_tpu.utils.metrics import GLOBAL_TRACKER as _tracker
 
+        devs = [upload_audio(a) for a in audios]
         with _tracker.track("vad", sum(len(a) for a in audios) / SAMPLE_RATE):
-            per_chunks = [self._segment_with_vad(a, chunk_size) for a in audios]
+            per_chunks = [self._segment_with_vad(d, chunk_size) for d in devs]
 
         if language is None:
             for a, chs in zip(audios, per_chunks):
@@ -265,17 +265,18 @@ class TranscriptionPipeline:
             language = language or "en"
 
         # lay the requests out on one virtual timeline (whole-second bases
-        # with a 1 s guard gap) so the chunk machinery stays unchanged
+        # with a 1 s guard gap) so timestamps demux back per request; the
+        # audio itself never materializes on that timeline — chunk mels are
+        # gathered per request from each resident waveform and concatenated
         bases: List[float] = []
         offset = 0.0
         for a in audios:
             bases.append(offset)
             offset += math.ceil(len(a) / SAMPLE_RATE) + 1.0
-        virt = np.zeros(int(offset * SAMPLE_RATE), np.float32)
         pooled: List[dict] = []
-        for base, a, chs in zip(bases, audios, per_chunks):
-            beg = int(base * SAMPLE_RATE)
-            virt[beg : beg + len(a)] = a
+        mel_parts = []
+        n_mels = self.model.dims.n_mels
+        for base, dev, chs in zip(bases, devs, per_chunks):
             for ch in chs:
                 pooled.append(
                     {
@@ -284,14 +285,21 @@ class TranscriptionPipeline:
                         "segments": ch.get("segments", []),
                     }
                 )
+            if chs:
+                mel_parts.append(chunk_mels(dev, chs, n_mels))
 
         results: List[TranscriptionResult] = [
             {"segments": [], "language": language} for _ in audios
         ]
         if not pooled:
             return results
+        mels = (
+            jnp.concatenate(mel_parts, axis=0)
+            if len(mel_parts) > 1
+            else mel_parts[0]
+        )
         segments = self._transcribe_chunks(
-            virt, pooled, batch_size=batch_size, language=language, task=task
+            None, pooled, batch_size=batch_size, language=language, task=task, mels=mels
         )
         for seg in segments:
             r = bisect.bisect_right(bases, seg["start"] + 1e-6) - 1
@@ -367,11 +375,25 @@ class TranscriptionPipeline:
             "suppress_tokens": o["suppress_tokens"],
         }
 
-    def _segment_with_vad(self, audio: np.ndarray, chunk_size: float) -> List[dict]:
-        vad_segments = self.vad_model(
-            {"waveform": audio, "sample_rate": SAMPLE_RATE},
-            max_speech_duration_s=chunk_size,
-        )
+    def _segment_with_vad(self, audio, chunk_size: float) -> List[dict]:
+        """``audio``: host numpy OR an uploaded ``DeviceAudio``. Device
+        audio goes straight to device-capable VADs (only the prob vector
+        comes back over the tunnel); others get the host array."""
+        if isinstance(audio, DeviceAudio):
+            if getattr(self.vad_model, "supports_device_audio", False):
+                payload = {
+                    "waveform": audio.data,
+                    "sample_rate": SAMPLE_RATE,
+                    "length": audio.length,
+                }
+            else:
+                payload = {
+                    "waveform": np.asarray(audio.data)[: audio.length],
+                    "sample_rate": SAMPLE_RATE,
+                }
+        else:
+            payload = {"waveform": audio, "sample_rate": SAMPLE_RATE}
+        vad_segments = self.vad_model(payload, max_speech_duration_s=chunk_size)
         if not vad_segments:
             return []
         onset = getattr(self.vad_model, "vad_onset", 0.5)
@@ -380,7 +402,7 @@ class TranscriptionPipeline:
 
     def _transcribe_chunks(
         self,
-        audio: np.ndarray,
+        audio,
         chunks: List[dict],
         *,
         batch_size: int,
@@ -388,33 +410,24 @@ class TranscriptionPipeline:
         task: str,
         print_progress: bool = False,
         verbose: bool = False,
+        mels: Optional[jnp.ndarray] = None,
     ) -> List[dict]:
         from whisperx_tpu.utils.metrics import GLOBAL_TRACKER as _tracker
 
         o = self.asr_options
         n_mels = self.model.dims.n_mels
 
-        # One mel per chunk. Chunk audio is zero-padded to exactly 30 s
-        # BEFORE the mel (whisper training-time semantics: silence has a
-        # non-zero mel floor — zero-padding features instead would be
+        # One mel per chunk, gathered ON DEVICE from the resident waveform
+        # (audio/device_chunk.py). Chunk audio is zero-padded to exactly
+        # 30 s BEFORE the mel (whisper training-time semantics: silence has
+        # a non-zero mel floor — zero-padding features instead would be
         # wrong) — which also gives a single static mel shape, so XLA
-        # compiles the mel program exactly once.
-        from whisperx_tpu.audio import N_SAMPLES
-        from whisperx_tpu.audio.mel import log_mel_batch
-        from whisperx_tpu.utils.metrics import GLOBAL_TRACKER as _tracker
-
-        with _tracker.track("mel", sum(c["end"] - c["start"] for c in chunks)):
-            padded = np.zeros((len(chunks), N_SAMPLES), np.float32)
-            for i, ch in enumerate(chunks):
-                s = int(ch["start"] * SAMPLE_RATE)
-                e = min(int(ch["end"] * SAMPLE_RATE), len(audio))
-                n = min(e - s, N_SAMPLES)
-                padded[i, :n] = audio[s : s + n]
-            # DEVICE-RESIDENT: the tunnel moves ~40 MB/s, so downloading
-            # all chunk mels (~1.5 MB each) and re-uploading them per
-            # decode batch cost ~6 s per 30-min pass (measured); keep the
-            # [N, T, n_mels] array on device and gather batches there
-            mels = log_mel_batch(_audio_to_device(padded), n_mels)
+        # compiles the mel program once per chunk-count bucket. The host
+        # never slices chunk samples; mels stay device-resident end to end.
+        if mels is None:
+            with _tracker.track("mel", sum(c["end"] - c["start"] for c in chunks)):
+                audio_dev = upload_audio(audio)
+                mels = chunk_mels(audio_dev, chunks, n_mels)
 
         temperatures = list(o["temperatures"])
         results: List[Optional[object]] = [None] * len(chunks)

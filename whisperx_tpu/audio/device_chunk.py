@@ -1,0 +1,130 @@
+"""Device-side chunking: upload raw audio ONCE, slice + mel on device.
+
+Round-2 profile truth (docs/PERFORMANCE.md): the device tunnel moves
+~40 MB/s, so every extra pass of the raw waveform over it costs seconds on
+long audio. The reference's lightning backend computes the mel once and
+slices features on the host (reference whisperx/backends/mlx_lightning.py:162-217);
+the TPU-native conclusion of that trick is to keep the *waveform* resident:
+
+  1. one upload of the raw samples (int16 when PCM-exact — lossless);
+  2. VAD probabilities computed from the resident array (vad/energy.py,
+     vad/silero.py accept device audio) — the host downloads only the
+     per-window probs (~KB);
+  3. per-chunk windows gathered on device (`starts[:,None] + arange`) and
+     fed straight into the shared log-mel body — the host never touches
+     chunk samples at all.
+
+The gathered rows reproduce the host path bit-for-bit: `chunk_mels` masks
+beyond each chunk's length (zero padding to 30 s BEFORE the mel, whisper
+training-time semantics) and then runs the same `_log_mel_batch_body`
+program as `log_mel_batch`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperx_tpu.audio.constants import N_SAMPLES, SAMPLE_RATE
+from whisperx_tpu.audio.mel import _log_mel_batch_body
+
+# Uploads are padded to whole minutes so XLA sees few distinct lengths
+# (one compile per minute-bucket instead of one per file). 960000 samples
+# is divisible by the 512-sample VAD window, so VAD framing needs no
+# re-padding on device.
+AUDIO_BUCKET = 60 * SAMPLE_RATE
+
+
+class DeviceAudio(NamedTuple):
+    """A device-resident waveform plus its un-padded sample count."""
+
+    data: jnp.ndarray  # [padded_len] float32, zero beyond `length`
+    length: int
+
+
+def to_device(padded: np.ndarray) -> jnp.ndarray:
+    """Upload audio, as int16 when it is PCM-exact (lossless): values of
+    the form k/32768 scale to exact integers in f32, so the check is a
+    bitwise guarantee, not a tolerance — and the int16 payload halves the
+    ~40 MB/s tunnel cost."""
+    scaled = padded * 32768.0
+    a16 = np.round(scaled)
+    if np.abs(scaled - a16).max() == 0.0 and np.abs(a16).max() <= 32767:
+        return jnp.asarray(a16.astype(np.int16)).astype(jnp.float32) / 32768.0
+    return jnp.asarray(padded)
+
+
+def upload_audio(audio: Union[np.ndarray, DeviceAudio]) -> DeviceAudio:
+    """Pad to a minute bucket and upload once. Idempotent on DeviceAudio."""
+    if isinstance(audio, DeviceAudio):
+        return audio
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    n = len(audio)
+    target = max(AUDIO_BUCKET, -(-n // AUDIO_BUCKET) * AUDIO_BUCKET)
+    if target != n:
+        padded = np.zeros(target, np.float32)
+        padded[:n] = audio
+    else:
+        padded = audio
+    return DeviceAudio(to_device(padded), n)
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def _gather_chunk_mels_jit(
+    audio: jnp.ndarray, starts: jnp.ndarray, lengths: jnp.ndarray, n_mels: int
+) -> jnp.ndarray:
+    """audio [L], starts/lengths [N] → [N, 3000, n_mels] log-mels.
+
+    Each row is audio[start : start+length] zero-padded to 30 s — the
+    gather+mask formulation of asr.py's former host slice loop, fused by
+    XLA into the mel's framing matmul so the [N, 480000] intermediate
+    never round-trips HBM unfused.
+    """
+    offs = jnp.arange(N_SAMPLES, dtype=jnp.int32)
+    idx = jnp.clip(starts[:, None] + offs[None, :], 0, audio.shape[0] - 1)
+    rows = jnp.where(
+        offs[None, :] < lengths[:, None], jnp.take(audio, idx), 0.0
+    )
+    return _log_mel_batch_body(rows, n_mels)
+
+
+def chunk_mels(
+    dev: DeviceAudio, chunks: List[dict], n_mels: int, max_batch: int = 64
+) -> jnp.ndarray:
+    """Per-chunk log-mels gathered from the resident waveform.
+
+    Chunk counts are bucketed to powers of two (≤ max_batch) so XLA
+    compiles one program per bucket; zero-length padded rows compute a
+    silence mel that is sliced off.
+    """
+    n = len(chunks)
+    starts = np.zeros(n, np.int32)
+    lengths = np.zeros(n, np.int32)
+    for i, ch in enumerate(chunks):
+        s = int(ch["start"] * SAMPLE_RATE)
+        e = min(int(ch["end"] * SAMPLE_RATE), dev.length)
+        starts[i] = s
+        lengths[i] = min(max(e - s, 0), N_SAMPLES)
+
+    bucket = 1
+    while bucket < min(n, max_batch):
+        bucket *= 2
+    parts = []
+    for i in range(0, n, bucket):
+        s_part = starts[i : i + bucket]
+        l_part = lengths[i : i + bucket]
+        if len(s_part) < bucket:
+            pad = bucket - len(s_part)
+            s_part = np.concatenate([s_part, np.zeros(pad, np.int32)])
+            l_part = np.concatenate([l_part, np.zeros(pad, np.int32)])
+        parts.append(
+            _gather_chunk_mels_jit(
+                dev.data, jnp.asarray(s_part), jnp.asarray(l_part), n_mels
+            )
+        )
+    out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return out[:n]

@@ -164,9 +164,11 @@ def _log_mel_jit(audio: jnp.ndarray, n_mels: int, padding: int) -> jnp.ndarray:
     return (log_spec + 4.0) / 4.0
 
 
-@functools.partial(jax.jit, static_argnames=("n_mels",))
-def _log_mel_batch_jit(audio: jnp.ndarray, n_mels: int) -> jnp.ndarray:
-    """audio: [N, L] → [N, frames, n_mels] (per-item dynamic-range floor)."""
+def _log_mel_batch_body(audio: jnp.ndarray, n_mels: int) -> jnp.ndarray:
+    """Traced body: [N, L] → [N, frames, n_mels] (per-item dynamic-range
+    floor). Shared by the host-sliced batch path and the device-side chunk
+    gather (audio/device_chunk.py) so both are the identical XLA program
+    after the rows materialize."""
     half = N_FFT // 2
     n_frames = audio.shape[-1] // HOP_LENGTH
     padded = jnp.pad(audio, ((0, 0), (half, half)), mode="reflect")
@@ -181,6 +183,11 @@ def _log_mel_batch_jit(audio: jnp.ndarray, n_mels: int) -> jnp.ndarray:
         log_spec, log_spec.max(axis=(1, 2), keepdims=True) - 8.0
     )
     return (log_spec + 4.0) / 4.0
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def _log_mel_batch_jit(audio: jnp.ndarray, n_mels: int) -> jnp.ndarray:
+    return _log_mel_batch_body(audio, n_mels)
 
 
 def log_mel_batch(

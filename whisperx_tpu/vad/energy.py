@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import List
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from whisperx_tpu.audio.constants import SAMPLE_RATE
@@ -19,8 +21,40 @@ from whisperx_tpu.vad.silero import probs_to_speech_timestamps
 from whisperx_tpu.vad.types import SpeechSegment
 
 
+def _masked_percentile(sorted_vals: jnp.ndarray, q: float, n_valid) -> jnp.ndarray:
+    """np.percentile('linear') over the first n_valid entries of a sorted
+    array whose invalid tail is +inf."""
+    pos = q / 100.0 * (n_valid - 1)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, sorted_vals.shape[0] - 1)
+    i1 = jnp.minimum(i0 + 1, n_valid - 1)
+    frac = pos - jnp.floor(pos)
+    return sorted_vals[i0] * (1.0 - frac) + sorted_vals[i1] * frac
+
+
+@jax.jit
+def _energy_probs_jit(audio: jnp.ndarray, n_windows) -> jnp.ndarray:
+    """Device-resident energy VAD probability pass: [L] (L divisible by the
+    512-sample window; zeros beyond the real audio) → per-window speech
+    prob [L // 512]. Percentile statistics mask the padded tail so the
+    result matches the host path on the first ``n_windows`` entries."""
+    t_pad = audio.shape[0] // WINDOW_SIZE_SAMPLES
+    frames = audio.reshape(t_pad, WINDOW_SIZE_SAMPLES)
+    emphasized = jnp.diff(frames, axis=1, prepend=frames[:, :1])
+    energy = jnp.log10(jnp.mean(emphasized**2, axis=1) + 1e-10)
+    valid = jnp.arange(t_pad) < n_windows
+    es = jnp.sort(jnp.where(valid, energy, jnp.inf))
+    lo = _masked_percentile(es, 10.0, n_windows)
+    hi = _masked_percentile(es, 95.0, n_windows)
+    mid = 0.5 * (lo + hi)
+    scale = 8.0 / jnp.maximum(hi - lo, 1e-3)
+    probs = 1.0 / (1.0 + jnp.exp(-scale * (energy - mid)))
+    return jnp.where(hi - lo < 1e-3, 0.0, probs)
+
+
 class EnergyVAD:
     """Speech/silence detection from band-limited energy statistics."""
+
+    supports_device_audio = True
 
     def __init__(self, vad_onset: float = 0.5, chunk_size: float = 30.0):
         self.vad_onset = vad_onset
@@ -47,11 +81,20 @@ class EnergyVAD:
         return 1.0 / (1.0 + np.exp(-scale * (energy - mid)))
 
     def __call__(self, audio_dict, **options) -> List[SpeechSegment]:
-        audio = np.asarray(audio_dict["waveform"], np.float32).reshape(-1)
-        probs = self.speech_probs(audio)
+        wav = audio_dict["waveform"]
+        if isinstance(wav, jnp.ndarray):
+            # device-resident path: probs computed on device, only the
+            # tiny per-window prob vector crosses the tunnel
+            n = int(audio_dict.get("length", wav.shape[0]))
+            t = -(-n // WINDOW_SIZE_SAMPLES)
+            probs = np.asarray(_energy_probs_jit(wav, t))[:t]
+        else:
+            audio = np.asarray(wav, np.float32).reshape(-1)
+            n = len(audio)
+            probs = self.speech_probs(audio)
         return probs_to_speech_timestamps(
             probs,
-            len(audio),
+            n,
             threshold=options.get("threshold", self.vad_onset),
             max_speech_duration_s=options.get(
                 "max_speech_duration_s", self.chunk_size

@@ -154,16 +154,35 @@ class SileroVAD:
         params, _ = load_checkpoint(path)
         return cls(params=params, **kw)
 
-    def speech_probs(self, audio: np.ndarray) -> np.ndarray:
-        windows = frame_audio(np.asarray(audio, np.float32))
+    supports_device_audio = True
+
+    def speech_probs(self, audio) -> np.ndarray:
+        """Per-window speech probs. Accepts host numpy OR a device-resident
+        waveform (then only the prob vector crosses the device tunnel)."""
+        import jax.numpy as jnp
+
+        if not isinstance(audio, jnp.ndarray):
+            audio = jnp.asarray(np.asarray(audio, np.float32))
+        windows = frame_audio(audio)
         return np.asarray(speech_probs(self.params, windows))[0]
 
     def __call__(self, audio_dict, **options) -> List[SpeechSegment]:
-        audio = np.asarray(audio_dict["waveform"], np.float32).reshape(-1)
-        probs = self.speech_probs(audio)
+        import jax.numpy as jnp
+
+        wav = audio_dict["waveform"]
+        if isinstance(wav, jnp.ndarray):
+            n = int(audio_dict.get("length", wav.shape[0]))
+            t = -(-n // WINDOW_SIZE_SAMPLES)
+            # zero padding beyond `length` matches the host path's final
+            # partial-window zero fill, so probs[:t] is the host result
+            probs = self.speech_probs(wav)[:t]
+        else:
+            audio = np.asarray(wav, np.float32).reshape(-1)
+            n = len(audio)
+            probs = self.speech_probs(audio)
         return probs_to_speech_timestamps(
             probs,
-            len(audio),
+            n,
             threshold=options.get("threshold", self.vad_onset),
             max_speech_duration_s=options.get(
                 "max_speech_duration_s", self.chunk_size
