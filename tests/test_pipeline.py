@@ -96,7 +96,7 @@ def test_batched_subchunk_timestamps_and_words(nano_model, monkeypatch):
     tok = get_tokenizer(True, language="en")
     tb = tok.timestamp_begin
     # <|0.00|> hello <|1.00|><|1.00|> world <|2.00|>
-    tokens = [tb, *b" hello", tb + 50, tb + 50, *b" world", tb + 100]
+    tokens = [tb, *tok.encode(" hello"), tb + 50, tb + 50, *tok.encode(" world"), tb + 100]
 
     def fake_decode(model, mel, opts, **kw):
         return [

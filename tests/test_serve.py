@@ -179,7 +179,7 @@ def test_transcribe_many_coalesces_device_batches(nano_model, monkeypatch):
 
     tok = get_tokenizer(True, language="en")
     tb = tok.timestamp_begin
-    tokens = [tb, *b" hi", tb + 50]
+    tokens = [tb, *tok.encode(" hi"), tb + 50]
 
     decode_calls = []
 
@@ -234,3 +234,72 @@ def test_transcribe_many_coalesces_device_batches(nano_model, monkeypatch):
         # window starts at the request-local chunk start (1.0 s)
         assert seg["start"] == 1.0 and seg["end"] == 2.0
         assert seg["text"] == "hi"
+
+
+def test_transcribe_many_per_request_language(nano_model, monkeypatch):
+    """A French and an English request sharing the batcher each keep their
+    own detected language: detection runs per request, decode groups by
+    language, and each result carries its request's language."""
+    import whisperx_tpu.asr as asr_mod
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.decoding.decode import DecodingResult
+    from whisperx_tpu.vad.types import SpeechSegment
+
+    from whisperx_tpu.decoding import get_tokenizer as _gt
+
+    _tok = _gt(True, language="en")
+    langs_used = []
+
+    def fake_dispatch(model, mel, opts, **kw):
+        langs_used.append(opts.language)
+        return {
+            "done": [
+                DecodingResult(
+                    audio_features=None,
+                    language=opts.language,
+                    tokens=list(_tok.encode(" bonjour" if opts.language == "fr" else " hello")),
+                    text="bonjour" if opts.language == "fr" else "hello",
+                    avg_logprob=-0.1,
+                    no_speech_prob=0.0,
+                    temperature=0.0,
+                    compression_ratio=1.0,
+                )
+                for _ in range(mel.shape[0])
+            ]
+        }
+
+    monkeypatch.setattr(asr_mod, "decode_dispatch", fake_dispatch)
+
+    detected = iter(["fr", "en"])
+    monkeypatch.setattr(
+        TranscriptionPipeline, "detect_language", lambda self, a: next(detected)
+    )
+
+    class StubVAD:
+        vad_onset = 0.5
+        vad_offset = 0.363
+
+        def __call__(self, inp, max_speech_duration_s=30):
+            dur = len(inp["waveform"]) / inp["sample_rate"]
+            return [SpeechSegment(start=0.5, end=min(6.0, dur))]
+
+    pipe = TranscriptionPipeline(
+        model=nano_model,
+        vad_model=StubVAD(),
+        asr_options={
+            "temperatures": (0.0,),
+            "no_speech_threshold": None,
+            "log_prob_threshold": None,
+            "compression_ratio_threshold": None,
+            "without_timestamps": True,
+        },
+        language=None,  # force per-request detection
+        batch_size=8,
+    )
+    audios = [np.zeros(16000 * 7, np.float32) for _ in range(2)]
+    results = pipe.transcribe_many(audios)
+    assert sorted(langs_used) == ["en", "fr"]  # one decode group per language
+    assert results[0]["language"] == "fr"
+    assert results[1]["language"] == "en"
+    assert "bonjour" in results[0]["segments"][0]["text"]
+    assert "hello" in results[1]["segments"][0]["text"]

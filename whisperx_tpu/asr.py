@@ -77,13 +77,15 @@ from whisperx_tpu.audio.device_chunk import (  # noqa: E402
 )
 
 
-def _max_decode_rows(model, *, kv_quant: bool = False) -> int:
+def _max_decode_rows(model, *, kv_quant: bool = False, sample_len: Optional[int] = None) -> int:
     """Max concurrent decode rows (batch × beam/best_of tiles) whose KV
     working set fits the HBM cache budget.
 
     Per-row decode-time cache = cross-KV (2 · n_layer · 1500 frames · d)
-    + self-KV (2 · n_layer · cache_len · d). Budget defaults to 8 GiB
-    (v5e-class HBM minus weights/activations headroom); override with
+    + self-KV (2 · n_layer · cache_len · d), where cache_len mirrors the
+    allocation decode.py actually makes: prefix + sample_len + 1, rounded
+    up to 64, capped at n_text_ctx. Budget defaults to 8 GiB (v5e-class
+    HBM minus weights/activations headroom); override with
     WHISPERX_TPU_KV_HBM_GB. Replaces the former fixed 32-row cap that
     treated tiny-fp32 and large-v3-int8 identically.
     """
@@ -93,8 +95,13 @@ def _max_decode_rows(model, *, kv_quant: bool = False) -> int:
     d = dims.n_text_state
     n_layer = dims.n_text_layer
     cross_bytes = 1 if kv_quant else 2  # int8 vs bf16 cross-KV
-    self_len = 512  # typical prefix + sample_len budget (decode.py rounds to 64)
-    per_row = 2 * n_layer * d * (1500 * cross_bytes + self_len * 2)
+    if sample_len is None:
+        sample_len = dims.n_text_ctx // 2  # decode.py default
+    # prefix budget: sot sequence + optional prompt ≈ 8 tokens typical;
+    # decode.py rounds (n_init + sample_len + 1) up to 64, cap n_text_ctx
+    budget_tokens = 8 + sample_len + 1
+    cache_len = min(dims.n_text_ctx, -(-budget_tokens // 64) * 64)
+    per_row = 2 * n_layer * d * (1500 * cross_bytes + cache_len * 2)
     budget = float(os.environ.get("WHISPERX_TPU_KV_HBM_GB", "8")) * 2**30
     return max(1, int(budget // per_row))
 
@@ -252,17 +259,20 @@ class TranscriptionPipeline:
         with _tracker.track("vad", sum(len(a) for a in audios) / SAMPLE_RATE):
             per_chunks = [self._segment_with_vad(d, chunk_size) for d in devs]
 
-        if language is None:
-            for a, chs in zip(audios, per_chunks):
-                if chs:
-                    if self.model.is_multilingual:
-                        s0 = int(chs[0]["start"] * SAMPLE_RATE)
-                        e0 = int(chs[0]["end"] * SAMPLE_RATE)
-                        language = self.detect_language(a[s0:e0])
-                    else:
-                        language = "en"
-                    break
-            language = language or "en"
+        # Per-request language: detected independently for each request
+        # (a French and an English caller sharing the batcher each keep
+        # their own language); same-language requests then share device
+        # batches within their group.
+        langs: List[str] = []
+        for a, chs in zip(audios, per_chunks):
+            if language is not None:
+                langs.append(language)
+            elif not chs or not self.model.is_multilingual:
+                langs.append("en")
+            else:
+                s0 = int(chs[0]["start"] * SAMPLE_RATE)
+                e0 = int(chs[0]["end"] * SAMPLE_RATE)
+                langs.append(self.detect_language(a[s0:e0]))
 
         # lay the requests out on one virtual timeline (whole-second bases
         # with a 1 s guard gap) so timestamps demux back per request; the
@@ -273,49 +283,54 @@ class TranscriptionPipeline:
         for a in audios:
             bases.append(offset)
             offset += math.ceil(len(a) / SAMPLE_RATE) + 1.0
-        pooled: List[dict] = []
-        mel_parts = []
-        n_mels = self.model.dims.n_mels
-        for base, dev, chs in zip(bases, devs, per_chunks):
-            for ch in chs:
-                pooled.append(
-                    {
-                        "start": ch["start"] + base,
-                        "end": ch["end"] + base,
-                        "segments": ch.get("segments", []),
-                    }
-                )
-            if chs:
-                mel_parts.append(chunk_mels(dev, chs, n_mels))
 
         results: List[TranscriptionResult] = [
-            {"segments": [], "language": language} for _ in audios
+            {"segments": [], "language": lg} for lg in langs
         ]
-        if not pooled:
-            return results
-        mels = (
-            jnp.concatenate(mel_parts, axis=0)
-            if len(mel_parts) > 1
-            else mel_parts[0]
-        )
-        segments = self._transcribe_chunks(
-            None, pooled, batch_size=batch_size, language=language, task=task, mels=mels
-        )
-        for seg in segments:
-            r = bisect.bisect_right(bases, seg["start"] + 1e-6) - 1
-            out = dict(seg)
-            out["start"] = round(seg["start"] - bases[r], 3)
-            out["end"] = round(seg["end"] - bases[r], 3)
-            if "words" in seg:
-                out["words"] = [
-                    {
-                        **w,
-                        "start": round(w["start"] - bases[r], 2),
-                        "end": round(w["end"] - bases[r], 2),
-                    }
-                    for w in seg["words"]
-                ]
-            results[r]["segments"].append(out)
+        n_mels = self.model.dims.n_mels
+        groups: dict = {}
+        for r, lg in enumerate(langs):
+            if per_chunks[r]:
+                groups.setdefault(lg, []).append(r)
+
+        for lg, req_idxs in groups.items():
+            pooled: List[dict] = []
+            mel_parts = []
+            group_bases = [bases[r] for r in req_idxs]
+            for r in req_idxs:
+                for ch in per_chunks[r]:
+                    pooled.append(
+                        {
+                            "start": ch["start"] + bases[r],
+                            "end": ch["end"] + bases[r],
+                            "segments": ch.get("segments", []),
+                        }
+                    )
+                mel_parts.append(chunk_mels(devs[r], per_chunks[r], n_mels))
+            mels = (
+                jnp.concatenate(mel_parts, axis=0)
+                if len(mel_parts) > 1
+                else mel_parts[0]
+            )
+            segments = self._transcribe_chunks(
+                None, pooled, batch_size=batch_size, language=lg, task=task, mels=mels
+            )
+            for seg in segments:
+                g = bisect.bisect_right(group_bases, seg["start"] + 1e-6) - 1
+                r = req_idxs[g]
+                out = dict(seg)
+                out["start"] = round(seg["start"] - bases[r], 3)
+                out["end"] = round(seg["end"] - bases[r], 3)
+                if "words" in seg:
+                    out["words"] = [
+                        {
+                            **w,
+                            "start": round(w["start"] - bases[r], 2),
+                            "end": round(w["end"] - bases[r], 2),
+                        }
+                        for w in seg["words"]
+                    ]
+                results[r]["segments"].append(out)
         return results
 
     def _transcribe_chunks_sequential(
@@ -345,11 +360,18 @@ class TranscriptionPipeline:
                 verbose=verbose if verbose else None,
                 **opts,
             )
+            win = ch["end"] - ch["start"]
             for seg in result["segments"]:
+                # clamp to the chunk's real extent (see _transcribe_chunks)
+                if seg["start"] >= win:
+                    continue
+                end_rel = min(seg["end"], win)
+                if end_rel <= seg["start"]:
+                    continue
                 segments.append(
                     {
                         "start": round(seg["start"] + ch["start"], 3),
-                        "end": round(seg["end"] + ch["start"], 3),
+                        "end": round(end_rel + ch["start"], 3),
                         "text": seg["text"],
                         **(
                             {"words": seg["words"]} if "words" in seg else {}
@@ -459,7 +481,9 @@ class TranscriptionPipeline:
             # by n candidates — cap the tiled row count so cross-KV + the
             # self-cache fit in the HBM cache budget (derived from model
             # dims, not a fixed constant)
-            max_rows = _max_decode_rows(self.model, kv_quant=opts.kv_quant)
+            max_rows = _max_decode_rows(
+                self.model, kv_quant=opts.kv_quant, sample_len=o["sample_len"]
+            )
             tile = opts.beam_size or (
                 int(opts.best_of) if opts.best_of and opts.best_of > 1 else 1
             )
@@ -544,7 +568,16 @@ class TranscriptionPipeline:
                     timestamp_begin=tokenizer.timestamp_begin,
                     segment_size=N_FRAMES,
                 )
+                win = ch["end"] - ch["start"]
                 for s_rel, e_rel, toks in subs:
+                    # clamp to the window's REAL audio extent: timestamps in
+                    # the zero-padded tail of a short chunk transcribe
+                    # silence, never speech
+                    if s_rel >= win:
+                        continue
+                    e_rel = min(e_rel, win)
+                    if e_rel <= s_rel:
+                        continue
                     text = tokenizer.decode(toks).strip()
                     if not text:
                         continue

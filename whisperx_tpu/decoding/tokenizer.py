@@ -285,11 +285,36 @@ def get_tokenizer(
     n_base = 50257 if multilingual else 50256
     if vocab_path == "gold-partial":
         vocab_path = default_partial_vocab_path()
+    if vocab_path == "byte-fallback":
+        # explicit hermetic opt-out (tests / debugging): ids = UTF-8 bytes
+        return Tokenizer(
+            vocab=ByteFallbackVocab(n_base),
+            multilingual=multilingual,
+            num_languages=num_languages,
+            language=language,
+            task=task,
+        )
     if vocab_path and os.path.exists(vocab_path):
         if vocab_path.endswith(".json"):
             vocab = PartialVocab(vocab_path, n_base)
         else:
             vocab = TikTokenVocab(vocab_path)
+    elif multilingual and os.path.exists(default_partial_vocab_path()):
+        # Weightless multilingual default: the recovered partial vocabulary
+        # is EXACT where covered (byte alphabet + ~1.1k frequent tokens,
+        # proven against the gold artifacts) and U+FFFD elsewhere — strictly
+        # better than byte soup. A full ranks file (converted next to model
+        # weights) still upgrades to the complete vocabulary.
+        import warnings
+
+        warnings.warn(
+            "No vocab.tiktoken ranks file; using the recovered partial "
+            "multilingual vocabulary (exact where covered, � "
+            "elsewhere). Convert a checkpoint or set WHISPERX_TPU_VOCAB "
+            "for full text fidelity.",
+            stacklevel=2,
+        )
+        vocab = PartialVocab(default_partial_vocab_path(), n_base)
     else:
         vocab = ByteFallbackVocab(n_base)
     return Tokenizer(
