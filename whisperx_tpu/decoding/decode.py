@@ -388,6 +388,21 @@ def decode_dispatch(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
+    def _shard_data(x):
+        """Place a batch-leading array over the active mesh's data axis, so
+        the production decode program (this exact jit) runs data-parallel
+        when a mesh is installed (parallel.use_mesh / data_parallel mode).
+        No-op without a mesh or when the batch doesn't divide the axis."""
+        from whisperx_tpu.parallel.sharding import DATA_AXIS, get_mesh
+
+        mesh = get_mesh()
+        if mesh is None or x.shape[0] % mesh.shape[DATA_AXIS] != 0:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
     use_beam = options.beam_size is not None and options.temperature == 0
     if use_beam:
         from whisperx_tpu.decoding.beam import _beam_decode_jit, rank_beams
@@ -395,8 +410,8 @@ def decode_dispatch(
         toks_bk, lens_bk, scores_bk, no_speech_probs, audio_features = (
             _beam_decode_jit(
                 model.params,
-                mel.astype(model.dtype),
-                initial_arr,
+                _shard_data(mel.astype(model.dtype)),
+                _shard_data(initial_arr),
                 cfg,
                 int(options.beam_size),
             )
@@ -443,8 +458,8 @@ def decode_dispatch(
 
     tokens_buf, lengths, sum_logprobs, no_speech_probs, audio_features = _decode_jit(
         model.params,
-        mel_in.astype(model.dtype),
-        init_in,
+        _shard_data(mel_in.astype(model.dtype)),
+        _shard_data(init_in),
         rng,
         jnp.float32(max(options.temperature, 1e-6)),
         cfg,

@@ -1,3 +1,7 @@
+from whisperx_tpu.parallel.data_parallel import (
+    data_parallel_transcribe,
+    maybe_data_parallel,
+)
 from whisperx_tpu.parallel.sharding import (
     get_mesh,
     make_mesh,
@@ -7,4 +11,13 @@ from whisperx_tpu.parallel.sharding import (
     shard_params_tp,
 )
 
-__all__ = ["get_mesh", "make_mesh", "set_mesh", "shard", "use_mesh", "shard_params_tp"]
+__all__ = [
+    "data_parallel_transcribe",
+    "get_mesh",
+    "make_mesh",
+    "maybe_data_parallel",
+    "set_mesh",
+    "shard",
+    "use_mesh",
+    "shard_params_tp",
+]
