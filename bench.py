@@ -75,6 +75,7 @@ def spec_main():
     from whisperx_tpu.decoding import DecodingOptions, decode
     from whisperx_tpu.decoding.speculative import (
         SpeculativeDecoder,
+        scaled_tail_model,
         truncated_self_draft,
         zero_tail_model,
     )
@@ -88,6 +89,11 @@ def spec_main():
             max(2, base.dims.n_text_layer // 16),
         )
     )
+
+    if os.environ.get("WHISPERX_TPU_BENCH_SPEC") == "curve":
+        _spec_curve(base, keep, gamma, sample_len)
+        return
+
     target = zero_tail_model(base, keep_layers=keep)
     draft = truncated_self_draft(target, keep)
 
@@ -142,6 +148,73 @@ def spec_main():
             }
         )
     )
+
+
+def _spec_curve(base, keep: int, gamma: int, sample_len: int):
+    """Acceptance-vs-speedup curve (WHISPERX_TPU_BENCH_SPEC=curve).
+
+    Sweeps the tail-divergence knob of ``scaled_tail_model``: alpha=0 is
+    exact draft agreement (the mechanism's upper bound); growing alpha
+    makes the target's tail layers increasingly diverge from its truncated
+    self-draft, dialing MEASURED acceptance down. Every point re-times both
+    the speculative loop and vanilla greedy on the same model (the jitted
+    programs are shape-identical, so compilation is paid once). Prints one
+    JSON line per point: {alpha, acceptance, speedup, tokens}."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from whisperx_tpu.decoding import DecodingOptions, decode
+    from whisperx_tpu.decoding.speculative import (
+        SpeculativeDecoder,
+        scaled_tail_model,
+        truncated_self_draft,
+    )
+
+    alphas = [
+        float(a)
+        for a in os.environ.get(
+            "WHISPERX_TPU_BENCH_SPEC_ALPHAS", "0,0.02,0.05,0.1,0.3,1.0"
+        ).split(",")
+    ]
+    mel = jnp.asarray(
+        np.random.default_rng(0)
+        .standard_normal((3000, base.dims.n_mels))
+        .astype(np.float32)
+        * 0.1
+    )
+    opts = DecodingOptions(
+        language="en", sample_len=sample_len, without_timestamps=True
+    )
+    repeats = int(os.environ.get("WHISPERX_TPU_BENCH_REPEATS", 3))
+    for alpha in alphas:
+        target = scaled_tail_model(base, keep, alpha)
+        draft = truncated_self_draft(target, keep)
+        spec = SpeculativeDecoder(target, draft, gamma=gamma)
+        r_spec = spec.decode_jit(mel, opts)  # warmup/compile (cached ≥2nd alpha)
+        r_van = decode(target, mel, opts)
+        t_spec = t_van = float("inf")
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            spec.decode_jit(mel, opts)
+            t_spec = min(t_spec, _time.perf_counter() - t0)
+            t0 = _time.perf_counter()
+            decode(target, mel, opts)
+            t_van = min(t_van, _time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "alpha": alpha,
+                    "acceptance": round(spec.stats.acceptance_rate, 3),
+                    "speedup": round(t_van / t_spec, 2),
+                    "tokens_spec": len(r_spec.tokens),
+                    "tokens_vanilla": len(r_van.tokens),
+                    "gamma": gamma,
+                    "draft_layers": keep,
+                }
+            ),
+            flush=True,
+        )
 
 
 def main():

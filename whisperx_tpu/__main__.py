@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--beam_size", type=optional_int, default=5, help="number of beams in beam search, only applicable when temperature is zero")
     parser.add_argument("--patience", type=float, default=1.0, help="optional patience value to use in beam decoding")
     parser.add_argument("--length_penalty", type=float, default=1.0, help="optional token length penalty coefficient (alpha)")
+    parser.add_argument("--draft_model", type=str, default=None, help="name or checkpoint path of a draft Whisper model (e.g. a distil variant) enabling speculative decoding — greedy batched decode only; output is token-identical to non-speculative greedy decoding")
+    parser.add_argument("--spec_gamma", type=int, default=4, help="tokens drafted per speculative verify pass (only with --draft_model)")
 
     parser.add_argument("--suppress_tokens", type=str, default="-1", help="comma-separated list of token ids to suppress during sampling; '-1' suppresses most special characters except common punctuations")
     parser.add_argument("--suppress_numerals", action="store_true", help="whether to suppress numeric and currency symbols, since wav2vec2 cannot align them correctly")

@@ -60,6 +60,13 @@ DEFAULT_ASR_OPTIONS = {
     # HBM read); token-identical on test configs, generally lossless at
     # per-channel granularity
     "kv_quant": True,
+    # speculative decoding: a draft Whisper (model name, checkpoint path,
+    # or Whisper instance — e.g. a distil variant sharing the vocabulary)
+    # drafts spec_gamma tokens per target verify pass. Greedy verification
+    # keeps the output token-identical to plain greedy decoding; applies
+    # to the batched temperature-0 path (fallback temps decode normally).
+    "draft_model": None,
+    "spec_gamma": 4,
 }
 
 DEFAULT_VAD_OPTIONS = {
@@ -120,6 +127,26 @@ class TranscriptionPipeline:
 
     def __post_init__(self):
         self.asr_options = {**DEFAULT_ASR_OPTIONS, **(self.asr_options or {})}
+        self._spec_decoder = None
+
+    def _spec(self):
+        """Lazily build the SpeculativeDecoder when a draft model is
+        configured (CLI --draft_model / asr_options['draft_model'])."""
+        if self.asr_options.get("draft_model") is None:
+            return None
+        if self._spec_decoder is None:
+            from whisperx_tpu.decoding.speculative import SpeculativeDecoder
+
+            draft = self.asr_options["draft_model"]
+            if isinstance(draft, str):
+                from whisperx_tpu.models.whisper import load_model as _load
+
+                draft = _load(draft, dtype=self.model.dtype)
+            gamma = int(self.asr_options.get("spec_gamma") or 4)
+            self._spec_decoder = SpeculativeDecoder(
+                self.model, draft, gamma=gamma
+            )
+        return self._spec_decoder
 
     # ------------------------------------------------------------------
 
@@ -492,6 +519,13 @@ class TranscriptionPipeline:
             else:
                 bs_eff = batch_size
             still_pending = []
+            # speculative decoding serves the greedy (temperature-0,
+            # un-tiled) batches; fallback temperatures decode normally
+            spec = (
+                self._spec()
+                if (temperature == 0 and opts.beam_size is None and tile == 1)
+                else None
+            )
             # two-phase: dispatch every group first (JAX queues them on
             # device), then materialize — converting between groups would
             # leave the device idle during each host round-trip
@@ -509,14 +543,25 @@ class TranscriptionPipeline:
                             ),
                         ]
                     )
-                handles.append((idxs, decode_dispatch(self.model, rows, opts)))
+                if spec is not None:
+                    handles.append(
+                        (idxs, spec.decode_batch_dispatch(rows, opts))
+                    )
+                else:
+                    handles.append(
+                        (idxs, decode_dispatch(self.model, rows, opts))
+                    )
                 _tracker.add("batch_slots", bs_eff)
                 _tracker.add("batch_used", len(idxs))
             for gi, (idxs, handle) in enumerate(handles):
                 with _tracker.track(
                     "decode", sum(chunks[i]["end"] - chunks[i]["start"] for i in idxs)
                 ):
-                    batch_results = decode_finalize(handle)
+                    batch_results = (
+                        spec.decode_batch_finalize(handle)
+                        if spec is not None
+                        else decode_finalize(handle)
+                    )
                 for j, idx in enumerate(idxs):
                     r = batch_results[j]
                     _tracker.add("tokens_decoded", len(r.tokens))

@@ -67,13 +67,10 @@ def _step(params, tokens, cache_self, cross_kv, offset, n_head):
     return logits, (cache.self_k, cache.self_v)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "d_cfg", "gamma", "shared_encoder")
-)
-def _spec_loop_jit(
+def _spec_loop(
     t_params, d_params, mel, init_arr, cfg, d_cfg, gamma, shared_encoder=False
 ):
-    """The WHOLE speculative generate loop as one jitted program (B=1).
+    """The WHOLE speculative generate loop as one traced program (B=1).
 
     Prefill both models, then a ``lax.while_loop`` whose body:
 
@@ -175,6 +172,10 @@ def _spec_loop_jit(
 
     def body(c):
         (buf, n, finished, sum_lp, state, t_c, d_c, last_tok, prop, acc, tp) = c
+        # vmap-safety: under jax.vmap the while_loop body keeps executing
+        # for rows whose cond is already false — every write below is gated
+        # on `active` so finished/saturated rows are bit-frozen
+        active = (~finished) & (n < cfg.sample_len)
         # slot of the last accepted token (first iteration: the final
         # prompt token — recomputing its K/V is idempotent)
         pos = n_init + n - 1
@@ -235,7 +236,7 @@ def _spec_loop_jit(
             prior_ok = jnp.concatenate(
                 [jnp.ones((1,), bool), jnp.cumprod(ok[:-1]).astype(bool)]
             )
-            keep = prior_ok & (n + js < cfg.sample_len)
+            keep = prior_ok & (n + js < cfg.sample_len) & active
             w = keep.sum().astype(jnp.int32)
             window = jax.lax.dynamic_slice(buf, (0, n), (1, gamma + 1))
             window = jnp.where(keep[None], choices[None], window)
@@ -245,9 +246,13 @@ def _spec_loop_jit(
             finished = finished | jnp.any(keep & is_eot)
             # rebuild the filter state after the written run (no timestamp
             # fields change in this mode)
-            last_written = choices[jnp.maximum(w - 1, 0)]
+            last_written = jnp.where(
+                w >= 1, choices[jnp.maximum(w - 1, 0)], state.last_token[0]
+            )
             penult_written = jnp.where(
-                w >= 2, choices[jnp.maximum(w - 2, 0)], state.last_token[0]
+                w >= 2,
+                choices[jnp.maximum(w - 2, 0)],
+                jnp.where(w >= 1, state.last_token[0], state.penult_token[0]),
             )
             state = F.FilterState(
                 last_token=last_written[None],
@@ -287,12 +292,15 @@ def _spec_loop_jit(
 
             (state, _, w, sum_lp, buf, finished, n_match), _ = jax.lax.scan(
                 acc_step,
-                (state, jnp.bool_(True), jnp.int32(0), sum_lp, buf, finished, jnp.int32(0)),
+                (state, active, jnp.int32(0), sum_lp, buf, finished, jnp.int32(0)),
                 jnp.arange(gamma + 1),
             )
 
         new_n = n + w
-        last_tok2 = jax.lax.dynamic_slice(buf, (0, new_n - 1), (1, 1))[:, 0]
+        last_tok2 = jax.lax.dynamic_slice(
+            buf, (0, jnp.maximum(new_n - 1, 0)), (1, 1)
+        )[:, 0]
+        last_tok2 = jnp.where(new_n >= 1, last_tok2, last_tok)
         return (
             buf,
             new_n,
@@ -302,9 +310,9 @@ def _spec_loop_jit(
             t_c,
             d_c,
             last_tok2,
-            prop + gamma,
+            prop + jnp.where(active, gamma, 0),
             acc + n_match,
-            tp + 1,
+            tp + jnp.where(active, 1, 0),
         )
 
     out = jax.lax.while_loop(cond, body, carry)
@@ -312,6 +320,38 @@ def _spec_loop_jit(
     prop, acc, tp = out[8], out[9], out[10]
     return buf, n, sum_lp, no_speech_prob, prop, acc, tp, t_feats
 
+
+_spec_loop_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "d_cfg", "gamma", "shared_encoder")
+)(_spec_loop)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "d_cfg", "gamma", "shared_encoder")
+)
+def _spec_batch_jit(
+    t_params, d_params, mels, init_arr, cfg, d_cfg, gamma, shared_encoder=False
+):
+    """Batched speculative decode: ``jax.vmap`` of the single-row loop over
+    [B, T, n_mels] mels — rows draft/verify/accept independently (each with
+    its own termination; the vmapped while_loop runs until the slowest row
+    finishes, with finished rows bit-frozen by the `active` gates in the
+    body). One jitted program for the whole batch; per-row output is
+    token-identical to the B=1 loop."""
+
+    def one(mel_row, init_row):
+        return _spec_loop(
+            t_params,
+            d_params,
+            mel_row[None],
+            init_row[None],
+            cfg,
+            d_cfg,
+            gamma,
+            shared_encoder=shared_encoder,
+        )
+
+    return jax.vmap(one)(mels, init_arr)
 
 
 def truncated_self_draft(model, n_layers: int):
@@ -377,6 +417,48 @@ def zero_tail_model(model, keep_layers: int):
     )
 
 
+def scaled_tail_model(model, keep_layers: int, alpha: float):
+    """Scale (instead of zero) the output projections of decoder blocks past
+    ``keep_layers`` by ``alpha``. At alpha=0 this is ``zero_tail_model``
+    (draft agrees exactly, acceptance = 1); growing alpha lets the tail
+    layers increasingly diverge the target from its truncated self-draft,
+    dialing the acceptance rate down continuously — the instrument for the
+    measured acceptance-vs-speedup curve (bench.py spec mode 'curve')."""
+    from whisperx_tpu.models.whisper import Whisper
+
+    def scaled(lin):
+        out = dict(lin)
+        out["w"] = lin["w"] * alpha
+        if lin.get("b") is not None:
+            out["b"] = lin["b"] * alpha
+        return out
+
+    blocks = []
+    for i, blk in enumerate(model.params["decoder"]["blocks"]):
+        if i < keep_layers:
+            blocks.append(blk)
+            continue
+        nb = {k: v for k, v in blk.items()}
+        nb["attn"] = {**blk["attn"], "out": scaled(blk["attn"]["out"])}
+        if "cross_attn" in nb:
+            nb["cross_attn"] = {
+                **blk["cross_attn"],
+                "out": scaled(blk["cross_attn"]["out"]),
+            }
+        nb["mlp2"] = scaled(blk["mlp2"])
+        blocks.append(nb)
+    dec = {**model.params["decoder"], "blocks": blocks}
+    params = {**model.params, "decoder": dec}
+    return Whisper(
+        model.dims,
+        params,
+        dtype=model.dtype,
+        name=f"{model.name}-scaledtail{keep_layers}a{alpha}",
+        alignment_heads=model.alignment_heads,
+        vocab_path=model.vocab_path,
+    )
+
+
 class SpeculativeDecoder:
     def __init__(self, target_model, draft_model, gamma: int = 4):
         assert target_model.dims.n_vocab == draft_model.dims.n_vocab, (
@@ -432,6 +514,86 @@ class SpeculativeDecoder:
             compression_ratio=compression_ratio(text) if text else float("nan"),
         )
 
+    def decode_batch_dispatch(
+        self,
+        mels: jnp.ndarray,  # [B, T, n_mels]
+        options: DecodingOptions = DecodingOptions(),
+        tokenizer=None,
+    ) -> dict:
+        """Launch the batched speculative decode (one jitted program per
+        batch-size bucket) and return device handles without blocking —
+        the speculative twin of ``decode.decode_dispatch``, so the
+        pipeline's two-phase dispatch works unchanged."""
+        tokenizer, initial, cfg, d_cfg = self._configs(options, tokenizer)
+        b = mels.shape[0]
+        init_arr = jnp.tile(jnp.asarray(initial, jnp.int32)[None], (b, 1))
+        shared_encoder = self.draft.params.get("encoder") is self.target.params.get(
+            "encoder"
+        )
+        buf, n, sum_lp, nsp, prop, acc, tp, _ = _spec_batch_jit(
+            self.target.params,
+            self.draft.params,
+            mels.astype(self.target.dtype),
+            init_arr,
+            cfg,
+            d_cfg,
+            self.gamma,
+            shared_encoder=shared_encoder,
+        )
+        return {
+            "device": (buf, n, sum_lp, nsp, prop, acc, tp),
+            "tokenizer": tokenizer,
+            "cfg": cfg,
+            "language": options.language or "en",
+            "temperature": options.temperature,
+        }
+
+    def decode_batch_finalize(self, handle: dict) -> list:
+        """Materialize a ``decode_batch_dispatch`` call into per-row
+        DecodingResults (blocks on the device); accumulates acceptance
+        stats into ``self.stats`` and the global metrics tracker."""
+        from whisperx_tpu.utils.metrics import GLOBAL_TRACKER
+
+        buf, n, sum_lp, nsp, prop, acc, tp = handle["device"]
+        tokenizer = handle["tokenizer"]
+        cfg = handle["cfg"]
+        buf = np.asarray(buf)  # [B, 1, len]
+        n = np.asarray(n)
+        sum_lp = np.asarray(sum_lp)
+        nsp = np.asarray(nsp)
+        prop_s, acc_s, tp_s = (
+            int(np.asarray(prop).sum()),
+            int(np.asarray(acc).sum()),
+            int(np.asarray(tp).sum()),
+        )
+        self.stats.proposed += prop_s
+        self.stats.accepted += acc_s
+        self.stats.target_steps += tp_s
+        GLOBAL_TRACKER.add("spec_proposed", prop_s)
+        GLOBAL_TRACKER.add("spec_accepted", acc_s)
+        GLOBAL_TRACKER.add("spec_target_passes", tp_s)
+        results = []
+        for i in range(buf.shape[0]):
+            tokens = buf[i, 0, : int(n[i])].tolist()
+            if tokens and tokens[-1] == cfg.eot:
+                tokens.pop()
+            text = tokenizer.decode(tokens).strip()
+            results.append(
+                DecodingResult(
+                    audio_features=None,
+                    language=handle["language"],
+                    tokens=tokens,
+                    text=text,
+                    avg_logprob=float(sum_lp[i]) / (len(tokens) + 1),
+                    no_speech_prob=float(nsp[i]),
+                    temperature=handle["temperature"],
+                    compression_ratio=compression_ratio(text)
+                    if text
+                    else float("nan"),
+                )
+            )
+        return results
+
     def _configs(self, options: DecodingOptions, tokenizer=None):
         if tokenizer is None:
             from whisperx_tpu.decoding.tokenizer import get_tokenizer
@@ -464,7 +626,11 @@ class SpeculativeDecoder:
             blank_tokens=tuple(tokenizer.encode(" "))
             if options.suppress_blank
             else (),
-            suppress=F.build_suppress_list(tokenizer, options.suppress_tokens),
+            suppress=F.build_suppress_list(
+                tokenizer,
+                options.suppress_tokens,
+                suppress_numerals=options.suppress_numerals,
+            ),
             without_timestamps=options.without_timestamps,
             greedy=True,
         )
