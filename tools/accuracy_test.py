@@ -1,12 +1,23 @@
 #!/usr/bin/env python
-"""Accuracy regression vs gold transcripts (reference accuracy_test.py role).
+"""Accuracy regression vs gold transcripts (reference accuracy_test.py:14-58 role).
 
-Usage:
-    python tools/accuracy_test.py AUDIO GOLD_TXT [--model large-v3] [--batch 8]
+One-command convert → transcribe → score (turnkey on a connected host):
+
+    python tools/accuracy_test.py AUDIO GOLD_TXT \\
+        --convert /path/to/hf_whisper_snapshot --checkpoint /tmp/ckpt
+
+or with an already-converted checkpoint / stock model name:
+
+    python tools/accuracy_test.py AUDIO GOLD_TXT --checkpoint /tmp/ckpt
+    python tools/accuracy_test.py AUDIO GOLD_TXT --model large-v3
 
 Computes WER/CER of the pipeline's transcript against the gold text (e.g.
 the reference's 30m.txt gold artifact) and word-timestamp deltas against a
-gold JSON with word_segments (short.json shape) when provided.
+gold JSON with word_segments (short.json shape) when provided. The whole
+recipe is CI-proven against a synthetic full-rank HF fixture
+(tools/make_hf_fixture.py, tests/test_accuracy_path.py), so only the real
+weights are missing on hermetic hosts. Targets (reference
+validate_performance.py:35-40): WER delta <= 0.3, words within 200 ms.
 """
 
 import argparse
@@ -14,24 +25,59 @@ import json
 import time
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("audio")
     ap.add_argument("gold_txt")
     ap.add_argument("--gold_json", default=None, help="gold with word_segments")
     ap.add_argument("--model", default="large-v3")
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="converted checkpoint dir (overrides --model)",
+    )
+    ap.add_argument(
+        "--convert",
+        default=None,
+        help="HF snapshot dir or OpenAI .pt to convert into --checkpoint first",
+    )
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--align", action="store_true")
-    args = ap.parse_args()
+    ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a JAX platform (e.g. 'cpu'); needed on hosts whose "
+        "sitecustomize force-registers a TPU tunnel (env vars don't stick)",
+    )
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import whisperx_tpu
     from whisperx_tpu.utils.wer import cer, wer
+
+    if args.convert:
+        if not args.checkpoint:
+            ap.error("--convert requires --checkpoint OUT_DIR")
+        from whisperx_tpu.convert.whisper_hf import (
+            convert_hf_whisper,
+            convert_openai_whisper,
+        )
+
+        if args.convert.endswith(".pt"):
+            convert_openai_whisper(args.convert, args.checkpoint)
+        else:
+            convert_hf_whisper(args.convert, args.checkpoint)
+    model_ref = args.checkpoint or args.model
 
     audio = whisperx_tpu.load_audio(args.audio)
     duration = len(audio) / 16000
 
     t0 = time.perf_counter()
-    pipeline = whisperx_tpu.load_model(args.model, batch_size=args.batch)
+    pipeline = whisperx_tpu.load_model(model_ref, batch_size=args.batch)
     result = pipeline.transcribe(audio, batch_size=args.batch)
     elapsed = time.perf_counter() - t0
 
@@ -40,7 +86,7 @@ def main():
         gold = f.read()
 
     report = {
-        "model": args.model,
+        "model": model_ref,
         "duration_s": round(duration, 1),
         "wall_s": round(elapsed, 1),
         "rtf": round(duration / elapsed, 2),

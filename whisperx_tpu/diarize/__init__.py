@@ -52,10 +52,18 @@ class DiarizationPipeline:
         embedding_model=None,
         vad_model=None,
         segmentation_model: Optional[SpeakerSegmenter] = None,
+        clustering: Optional[str] = None,
     ):
         import os
 
         self.model_name = model_name or "pyannote-tpu"
+        # "ahc" (cannot-link constrained average-linkage, default) or
+        # "spectral" (normalized-Laplacian eigengap count estimation)
+        self.clustering = (
+            clustering
+            or os.environ.get("WHISPERX_TPU_DIARIZE_CLUSTERING")
+            or "ahc"
+        ).lower()
         if embedding_model is None:
             ckpt = os.environ.get("WHISPERX_TPU_SPEAKER_CKPT")
             if ckpt and os.path.isdir(ckpt):
@@ -144,29 +152,29 @@ class DiarizationPipeline:
         masks = clean_frame_masks(act)  # [W, K, F]
 
         # (window, speaker) items with any activity → embedding inputs
-        items = []  # (w, k)
         active_frames = masks.sum(axis=2)  # [W, K]
-        for w in range(n_win):
-            for k in range(n_local):
-                if active_frames[w, k] > 0:
-                    items.append((w, k))
+        ws, ks = np.nonzero(active_frames > 0)
+        items = list(zip(ws.tolist(), ks.tolist()))
         if not items:
             return [], np.zeros(0, np.int32), np.zeros((0, 1), np.float32)
 
         embed_len = int(EMBED_WINDOW_S * SAMPLE_RATE)
         spf = frame_dur * SAMPLE_RATE  # samples per segmentation frame
         win_samples = int(self.segmenter.window_s * SAMPLE_RATE)
+
+        # Vectorized clean-sample gather: slice each item's window once,
+        # expand its frame mask to sample resolution with one precomputed
+        # frame-of-sample index, and boolean-select — no per-frame Python
+        # slicing (formerly O(windows × speakers × frames) host loops).
+        frame_of_sample = np.minimum(
+            (np.arange(win_samples) / spf).astype(np.int64), n_frames - 1
+        )
         inputs = np.zeros((len(items), embed_len), np.float32)
         for i, (w, k) in enumerate(items):
             base = int(starts[w] * SAMPLE_RATE)
-            frame_idx = np.where(masks[w, k] > 0)[0]
-            # gather the speaker's clean samples inside this window
-            pieces = []
-            for f0 in frame_idx:
-                s0 = base + int(f0 * spf)
-                s1 = base + min(int((f0 + 1) * spf), win_samples)
-                pieces.append(audio[s0 : min(s1, len(audio))])
-            cat = np.concatenate(pieces) if pieces else np.zeros(1, np.float32)
+            win_audio = audio[base : base + win_samples]
+            sample_mask = masks[w, k][frame_of_sample[: len(win_audio)]] > 0
+            cat = win_audio[sample_mask]
             if len(cat) >= embed_len:
                 inputs[i] = cat[:embed_len]
             elif cat.any():
@@ -178,12 +186,35 @@ class DiarizationPipeline:
                 inputs[i, : len(cat)] = cat
         embeds = self.embedding.embed(inputs)  # ONE batched device call
 
-        labels = agglomerative_cluster(
-            embeds,
-            num_clusters=num_speakers,
-            min_clusters=min_speakers or 1,
-            max_clusters=max_speakers,
-        )
+        # Speaker-count estimation from segmentation activity: two local
+        # speakers active in the SAME window are necessarily different
+        # people — the max concurrent count lower-bounds the speaker count
+        # (cannot-link constraints make the bound binding in clustering).
+        concurrent = int((active_frames > 0).sum(axis=1).max())
+        est_min = max(min_speakers or 1, concurrent)
+        cannot_link = [
+            (i, j)
+            for i in range(len(items))
+            for j in range(i + 1, len(items))
+            if items[i][0] == items[j][0]
+        ]
+        if self.clustering == "spectral":
+            from whisperx_tpu.diarize.clustering import spectral_cluster
+
+            labels = spectral_cluster(
+                embeds,
+                num_clusters=num_speakers,
+                min_clusters=est_min,
+                max_clusters=max_speakers,
+            )
+        else:
+            labels = agglomerative_cluster(
+                embeds,
+                num_clusters=num_speakers,
+                min_clusters=est_min,
+                max_clusters=max_speakers,
+                cannot_link=cannot_link,
+            )
         n_global = int(labels.max()) + 1 if len(labels) else 0
 
         # aggregate window-local activity under global labels on a shared
@@ -256,12 +287,22 @@ class DiarizationPipeline:
             return [], np.zeros(0, np.int32), np.zeros((0, 1), np.float32)
 
         embeds = self.embedding.embed(np.stack([w[2] for w in windows]))
-        labels = agglomerative_cluster(
-            embeds,
-            num_clusters=num_speakers,
-            min_clusters=min_speakers or 1,
-            max_clusters=max_speakers,
-        )
+        if self.clustering == "spectral":
+            from whisperx_tpu.diarize.clustering import spectral_cluster
+
+            labels = spectral_cluster(
+                embeds,
+                num_clusters=num_speakers,
+                min_clusters=min_speakers or 1,
+                max_clusters=max_speakers,
+            )
+        else:
+            labels = agglomerative_cluster(
+                embeds,
+                num_clusters=num_speakers,
+                min_clusters=min_speakers or 1,
+                max_clusters=max_speakers,
+            )
 
         turns = []
         for (start, end, _), lab in zip(windows, labels):
