@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Streaming latency benchmark (VERDICT r2 Missing #5).
+
+Simulates a real-time feed: synthetic speech is pushed in 0.25 s pieces at
+(faster-than) real time, the StreamingTranscriber drains after every piece,
+and each emitted result records the wall latency from its newest sample
+being fed to the result callback. Reports first-result latency, partial
+latency, and chunk-final latency — the comparable numbers to the
+reference's <500 ms streaming modes (reference OPTIMIZATION_SUMMARY.md:35-39).
+
+Run on the chip:
+    python tools/streaming_latency.py --model large-v3
+Hermetic smoke (CPU, nano):
+    python tools/streaming_latency.py --model test-nano --platform cpu --seconds 8
+"""
+
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="large-v3")
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--partial_interval", type=float, default=1.0)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--realtime", action="store_true", help="sleep to feed at 1x")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    try:
+        import jax
+
+        cache_dir = os.path.expanduser("~/.cache/whisperx_tpu/xla_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import sys
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from conftest import synth_speech
+
+    from whisperx_tpu.asr import load_model
+    from whisperx_tpu.serve.streaming import StreamingConfig, StreamingTranscriber
+
+    pipeline = load_model(
+        args.model,
+        vad_method="energy",
+        language="en",
+        asr_options={"temperatures": (0.0,), "sample_len": 64},
+    )
+    speech = synth_speech(args.seconds)
+
+    # warmup: compile the decode + partial programs out of the measurement
+    pipeline.transcribe(speech[: 16000 * 2])
+    from whisperx_tpu.serve.streaming import IncrementalUtteranceDecoder
+
+    warm = IncrementalUtteranceDecoder(pipeline.model, language="en")
+    warm.partial(speech[: 16000 * 2])
+
+    st = StreamingTranscriber(
+        pipeline,
+        StreamingConfig(
+            min_chunk_seconds=0.5,
+            max_latency_seconds=5.0,
+            partial_interval_seconds=args.partial_interval,
+        ),
+    )
+    step = 4000  # 0.25 s pieces
+    t0 = time.perf_counter()
+    for i in range(0, len(speech), step):
+        st.feed(speech[i : i + step])
+        st.process_available()
+        if args.realtime:
+            behind = (i + step) / 16000 - (time.perf_counter() - t0)
+            if behind > 0:
+                time.sleep(behind)
+    results = st.stop()
+    wall = time.perf_counter() - t0
+
+    stats = st.latency_stats()
+    n_partials = sum(1 for r in results if r.get("provisional"))
+    print(
+        json.dumps(
+            {
+                "model": args.model,
+                "audio_s": args.seconds,
+                "wall_s": round(wall, 2),
+                "results": len(results),
+                "partials": n_partials,
+                **stats,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,11 @@ class StreamingConfig:
     silence_flush_seconds: float = 0.3
     vad_threshold: float = 0.5
     condition_on_previous_text: bool = True
+    # emit PROVISIONAL transcripts of the still-growing utterance every
+    # this many seconds of new speech (None = only flush-complete chunks).
+    # Partials reuse previously committed tokens as a decode prefix
+    # (LocalAgreement), so each re-decode generates only the tail.
+    partial_interval_seconds: Optional[float] = None
 
 
 class AudioRingBuffer:
@@ -134,6 +139,75 @@ class StreamingChunker:
         return out
 
 
+class IncrementalUtteranceDecoder:
+    """Prefix-reusing partial decoding of a growing utterance.
+
+    Whisper's encoder attends globally, so encoder features for old audio
+    genuinely change as the window grows — feature-level reuse would alter
+    output. What IS reusable across partial decodes are the TOKENS: tokens
+    that two consecutive partials agree on (LocalAgreement-2, the public
+    streaming-whisper recipe) are committed and fed back as the decode
+    ``prefix``, so each re-decode generates only the unstable tail. The
+    decode itself is the ordinary production program.
+    """
+
+    def __init__(self, model, language: str = "en", task: str = "transcribe"):
+        self.model = model
+        self.language = language
+        self.task = task
+        self.stable: List[int] = []
+        self._last_full: Optional[List[int]] = None
+
+    def reset(self) -> None:
+        self.stable = []
+        self._last_full = None
+
+    def partial(self, audio: np.ndarray) -> dict:
+        """Decode the utterance-so-far; returns {text, stable_text,
+        tokens, stable_tokens}."""
+        from whisperx_tpu.audio import N_SAMPLES, pad_or_trim
+        from whisperx_tpu.audio.mel import log_mel_spectrogram
+        from whisperx_tpu.decoding import DecodingOptions, decode, get_tokenizer
+
+        head = np.asarray(pad_or_trim(np.asarray(audio, np.float32), N_SAMPLES))
+        mel = log_mel_spectrogram(head, self.model.dims.n_mels).T  # [T, n_mels]
+        opts = DecodingOptions(
+            language=self.language,
+            task=self.task,
+            without_timestamps=True,  # prefix replay has no timestamp grammar
+            prefix=list(self.stable) or None,
+            sample_len=196,
+        )
+        result = decode(self.model, mel, opts)
+        full = list(self.stable) + list(result.tokens)
+
+        # LocalAgreement-2: commit the longest common prefix of this and
+        # the previous full hypothesis
+        if self._last_full is not None:
+            n = 0
+            for a, b in zip(self._last_full, full):
+                if a != b:
+                    break
+                n += 1
+            if n > len(self.stable):
+                self.stable = full[:n]
+        self._last_full = full
+
+        tok = get_tokenizer(
+            self.model.is_multilingual,
+            num_languages=self.model.num_languages,
+            language=self.language,
+            task=self.task,
+            vocab_path=self.model.vocab_path,
+        )
+        return {
+            "text": tok.decode(full).strip(),
+            "stable_text": tok.decode(self.stable).strip(),
+            "tokens": full,
+            "stable_tokens": list(self.stable),
+        }
+
+
 class StreamingTranscriber:
     """Background worker turning a live audio feed into incremental results."""
 
@@ -155,9 +229,42 @@ class StreamingTranscriber:
         self._offset_s = 0.0
         self._stop = threading.Event()
         self._worker: Optional[threading.Thread] = None
+        # latency accounting: (cumulative samples fed, wall time)
+        self._fed = 0
+        self._consumed = 0
+        self._feed_times: List[tuple] = []
+        self._last_partial_len = 0
+        self._incremental: Optional[IncrementalUtteranceDecoder] = None
 
     def feed(self, samples: np.ndarray) -> None:
-        self.buffer.write(samples)
+        n = self.buffer.write(samples)
+        self._fed += n
+        self._feed_times.append((self._fed, time.monotonic()))
+
+    def _feed_time_for(self, cum_samples: int) -> Optional[float]:
+        """Wall time at which the cum_samples-th sample was fed."""
+        for c, ts in self._feed_times:
+            if c >= cum_samples:
+                return ts
+        return self._feed_times[-1][1] if self._feed_times else None
+
+    def latency_stats(self) -> dict:
+        """Summary of emit latencies (seconds from newest-sample-fed to
+        result emitted), split by partial vs chunk-final results."""
+        lats = [r["latency_s"] for r in self.results if "latency_s" in r]
+        partials = [
+            r["latency_s"]
+            for r in self.results
+            if r.get("provisional") and "latency_s" in r
+        ]
+        out = {}
+        if lats:
+            out["first_result_s"] = round(self.results[0].get("latency_s", 0), 3)
+            out["mean_s"] = round(float(np.mean(lats)), 3)
+            out["max_s"] = round(float(np.max(lats)), 3)
+        if partials:
+            out["partial_mean_s"] = round(float(np.mean(partials)), 3)
+        return out
 
     def start(self) -> None:
         self._stop.clear()
@@ -181,9 +288,45 @@ class StreamingTranscriber:
     def process_available(self) -> None:
         """Synchronous drain (for tests / non-threaded use)."""
         samples = self.buffer.read()
-        if len(samples):
-            for chunk in self.chunker.push(samples):
-                self._emit(chunk, final=False)
+        chunks = self.chunker.push(samples) if len(samples) else []
+        for chunk in chunks:
+            self._emit(chunk, final=False)
+            self._last_partial_len = 0
+            if self._incremental is not None:
+                self._incremental.reset()
+        if self.config.partial_interval_seconds is not None and not chunks:
+            pend = self.chunker._pending
+            step = int(self.config.partial_interval_seconds * self.config.sample_rate)
+            if len(pend) - self._last_partial_len >= step:
+                self._emit_partial(pend.copy())
+                self._last_partial_len = len(pend)
+
+    def _emit_partial(self, pending: np.ndarray) -> None:
+        """Provisional transcript of the still-growing utterance: committed
+        tokens replay as the decode prefix (IncrementalUtteranceDecoder),
+        so only the unstable tail is re-generated."""
+        if self._incremental is None:
+            self._incremental = IncrementalUtteranceDecoder(
+                self.pipeline.model,
+                language=getattr(self.pipeline, "language", None) or "en",
+                task=getattr(self.pipeline, "task", "transcribe"),
+            )
+        info = self._incremental.partial(pending)
+        t_fed = self._feed_time_for(self._consumed + len(pending))
+        entry = {
+            "text": info["text"],
+            "stable_text": info["stable_text"],
+            "start": self._offset_s,
+            "end": self._offset_s + len(pending) / self.config.sample_rate,
+            "final": False,
+            "provisional": True,
+            "segments": [],
+        }
+        if t_fed is not None:
+            entry["latency_s"] = round(time.monotonic() - t_fed, 4)
+        self.results.append(entry)
+        if self.on_result:
+            self.on_result(entry)
 
     def _run(self) -> None:
         while not self._stop.is_set():
@@ -197,14 +340,19 @@ class StreamingTranscriber:
         result = self.pipeline.transcribe(chunk, **kwargs) if not kwargs else (
             self.pipeline.transcribe(chunk)
         )
+        self._consumed += len(chunk)
+        t_fed = self._feed_time_for(self._consumed)
         text = " ".join(s["text"].strip() for s in result["segments"]).strip()
         entry = {
             "text": text,
             "start": self._offset_s,
             "end": self._offset_s + len(chunk) / self.config.sample_rate,
             "final": final,
+            "provisional": False,
             "segments": result["segments"],
         }
+        if t_fed is not None:
+            entry["latency_s"] = round(time.monotonic() - t_fed, 4)
         self._offset_s = entry["end"]
         if text:
             self._prev_text = (self._prev_text + " " + text).strip()
