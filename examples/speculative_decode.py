@@ -39,3 +39,29 @@ print(
     f"target_passes={spec.stats.target_steps} "
     f"tokens/pass={len(result.tokens) / max(1, spec.stats.target_steps):.1f}"
 )
+
+# ---------------------------------------------------------------------------
+# Pipeline-level speculative decoding (round 3): pass the draft straight to
+# the pipeline — the batched temperature-0 path runs the speculative loop
+# (B>1 via the vmapped batch program), token-identical to the plain
+# pipeline. On the CLI: --draft_model distil-large-v3 --spec_gamma 4
+# ---------------------------------------------------------------------------
+import whisperx_tpu
+
+pipeline = whisperx_tpu.load_model(
+    "test-nano",  # real use: "large-v3"
+    vad_method="energy",
+    language="en",
+    asr_options={
+        "draft_model": draft,  # or a model name / checkpoint path
+        "spec_gamma": 4,
+        "temperatures": (0.0,),
+        "sample_len": 16,
+    },
+)
+speech = np.sin(
+    2 * np.pi * 220 * np.arange(16000 * 8) / 16000
+).astype(np.float32) * 0.2
+result = pipeline.transcribe(speech, batch_size=2)
+print(f"pipeline segments: {len(result['segments'])}")
+print("acceptance stats:", pipeline._spec_decoder.stats if pipeline._spec_decoder else None)
