@@ -54,11 +54,14 @@ def main():
     from whisperx_tpu.asr import load_model
     from whisperx_tpu.serve.streaming import StreamingConfig, StreamingTranscriber
 
+    # batch_size=1: latency mode — each flushed chunk decodes as a single
+    # row instead of padding into a throughput batch
     pipeline = load_model(
         args.model,
         vad_method="energy",
         language="en",
-        asr_options={"temperatures": (0.0,), "sample_len": 64},
+        asr_options={"temperatures": (0.0,), "sample_len": 128},
+        batch_size=1,
     )
     speech = synth_speech(args.seconds)
 

@@ -151,6 +151,13 @@ class IncrementalUtteranceDecoder:
     decode itself is the ordinary production program.
     """
 
+    # replayed-prefix lengths are rounded DOWN to this bucket, and the
+    # sample budget shrinks in step, so the jitted decode sees only a
+    # handful of distinct (n_init, sample_len) shapes per utterance —
+    # every distinct shape is a fresh XLA compile (minutes for large-v3)
+    PREFIX_BUCKET = 32
+    TOKEN_BUDGET = 224
+
     def __init__(self, model, language: str = "en", task: str = "transcribe"):
         self.model = model
         self.language = language
@@ -171,15 +178,22 @@ class IncrementalUtteranceDecoder:
 
         head = np.asarray(pad_or_trim(np.asarray(audio, np.float32), N_SAMPLES))
         mel = log_mel_spectrogram(head, self.model.dims.n_mels).T  # [T, n_mels]
+        replay = self.stable[
+            : (len(self.stable) // self.PREFIX_BUCKET) * self.PREFIX_BUCKET
+        ]
         opts = DecodingOptions(
             language=self.language,
             task=self.task,
             without_timestamps=True,  # prefix replay has no timestamp grammar
-            prefix=list(self.stable) or None,
-            sample_len=196,
+            prefix=list(replay) or None,
+            sample_len=self.TOKEN_BUDGET - len(replay),
         )
         result = decode(self.model, mel, opts)
-        full = list(self.stable) + list(result.tokens)
+        # committed tokens are FINAL (the LocalAgreement contract): the
+        # regenerated span inside [len(replay), len(stable)) is discarded
+        # in favor of the committed tokens, and the fresh tail splices on
+        skip = len(self.stable) - len(replay)
+        full = list(self.stable) + list(result.tokens[skip:])
 
         # LocalAgreement-2: commit the longest common prefix of this and
         # the previous full hypothesis
