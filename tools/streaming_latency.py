@@ -48,8 +48,11 @@ def main():
     import warnings
 
     warnings.filterwarnings("ignore")
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-    from conftest import synth_speech
+    # NOT tests/conftest.synth_speech: importing conftest force-switches
+    # the JAX platform to CPU (its job for the test suite), which would
+    # silently turn this chip benchmark into a host run
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import synth_speech
 
     from whisperx_tpu.asr import load_model
     from whisperx_tpu.serve.streaming import StreamingConfig, StreamingTranscriber
