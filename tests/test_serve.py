@@ -366,3 +366,20 @@ def test_incremental_decoder_stable_prefix_monotone(nano_model):
     info = dec.partial(audio[: int(4.0 * 16000)])
     assert len(info["stable_tokens"]) > len(prev_stable)
     assert info["stable_tokens"][: len(prev_stable)] == prev_stable
+
+
+def test_incremental_decoder_prefix_outgrows_budget(nano_model):
+    """Committed prefix growing past the token budget must not drive the
+    decode's sample_len negative (chip regression: stable reached 128 on a
+    64-token budget and the prefill overran the KV cache)."""
+    from tests.conftest import synth_speech
+    from whisperx_tpu.serve.streaming import IncrementalUtteranceDecoder
+
+    dec = IncrementalUtteranceDecoder(nano_model, language="en", token_budget=48)
+    audio = synth_speech(4.0, seed=9)
+    prev = []
+    for _ in range(6):  # identical audio → agreement → stable grows
+        info = dec.partial(audio)
+        assert info["stable_tokens"][: len(prev)] == prev
+        prev = info["stable_tokens"]
+    assert len(prev) > 16  # it DID commit across the bucket boundary

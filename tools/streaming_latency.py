@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--partial_interval", type=float, default=1.0)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--realtime", action="store_true", help="sleep to feed at 1x")
+    ap.add_argument("--sample_len", type=int, default=128, help="max tokens per decode (random weights always hit the cap; real speech EOTs early, so this bounds the latency-vs-tokens curve)")
     args = ap.parse_args()
 
     if args.platform:
@@ -63,16 +64,24 @@ def main():
         args.model,
         vad_method="energy",
         language="en",
-        asr_options={"temperatures": (0.0,), "sample_len": 128},
+        asr_options={"temperatures": (0.0,), "sample_len": args.sample_len},
         batch_size=1,
     )
     speech = synth_speech(args.seconds)
 
-    # warmup: compile the decode + partial programs out of the measurement
+    # warmup: compile the decode + partial programs out of the measurement —
+    # including the prefix-bucket-32 partial shape (committed prefixes
+    # bucket to multiples of 32; each distinct bucket is its own compile)
     pipeline.transcribe(speech[: 16000 * 2])
     from whisperx_tpu.serve.streaming import IncrementalUtteranceDecoder
 
-    warm = IncrementalUtteranceDecoder(pipeline.model, language="en")
+    budget = min(224, 2 * args.sample_len)
+    warm = IncrementalUtteranceDecoder(
+        pipeline.model, language="en", token_budget=budget
+    )
+    warm.partial(speech[: 16000 * 2])
+    warm.stable = list(range(200, 200 + warm.PREFIX_BUCKET))
+    warm._last_full = None
     warm.partial(speech[: 16000 * 2])
 
     st = StreamingTranscriber(
@@ -81,6 +90,7 @@ def main():
             min_chunk_seconds=0.5,
             max_latency_seconds=5.0,
             partial_interval_seconds=args.partial_interval,
+            partial_token_budget=budget,
         ),
     )
     step = 4000  # 0.25 s pieces

@@ -33,6 +33,8 @@ class StreamingConfig:
     # Partials reuse previously committed tokens as a decode prefix
     # (LocalAgreement), so each re-decode generates only the tail.
     partial_interval_seconds: Optional[float] = None
+    # token budget per partial decode (prefix + generated tail)
+    partial_token_budget: int = 224
 
 
 class AudioRingBuffer:
@@ -158,10 +160,18 @@ class IncrementalUtteranceDecoder:
     PREFIX_BUCKET = 32
     TOKEN_BUDGET = 224
 
-    def __init__(self, model, language: str = "en", task: str = "transcribe"):
+    def __init__(
+        self,
+        model,
+        language: str = "en",
+        task: str = "transcribe",
+        token_budget: Optional[int] = None,
+    ):
         self.model = model
         self.language = language
         self.task = task
+        if token_budget is not None:
+            self.TOKEN_BUDGET = token_budget
         self.stable: List[int] = []
         self._last_full: Optional[List[int]] = None
 
@@ -178,8 +188,15 @@ class IncrementalUtteranceDecoder:
 
         head = np.asarray(pad_or_trim(np.asarray(audio, np.float32), N_SAMPLES))
         mel = log_mel_spectrogram(head, self.model.dims.n_mels).T  # [T, n_mels]
+        # the committed prefix can outgrow the budget (agreement keeps
+        # extending it); cap the REPLAYED part so at least one bucket of
+        # generation budget always remains — sample_len must stay positive
+        max_replay = self.TOKEN_BUDGET - self.PREFIX_BUCKET
         replay = self.stable[
-            : (len(self.stable) // self.PREFIX_BUCKET) * self.PREFIX_BUCKET
+            : min(
+                (len(self.stable) // self.PREFIX_BUCKET) * self.PREFIX_BUCKET,
+                (max_replay // self.PREFIX_BUCKET) * self.PREFIX_BUCKET,
+            )
         ]
         opts = DecodingOptions(
             language=self.language,
@@ -275,9 +292,12 @@ class StreamingTranscriber:
         if lats:
             out["first_result_s"] = round(self.results[0].get("latency_s", 0), 3)
             out["mean_s"] = round(float(np.mean(lats)), 3)
+            out["median_s"] = round(float(np.median(lats)), 3)
+            out["p90_s"] = round(float(np.percentile(lats, 90)), 3)
             out["max_s"] = round(float(np.max(lats)), 3)
         if partials:
             out["partial_mean_s"] = round(float(np.mean(partials)), 3)
+            out["partial_median_s"] = round(float(np.median(partials)), 3)
         return out
 
     def start(self) -> None:
@@ -324,6 +344,7 @@ class StreamingTranscriber:
                 self.pipeline.model,
                 language=getattr(self.pipeline, "language", None) or "en",
                 task=getattr(self.pipeline, "task", "transcribe"),
+                token_budget=self.config.partial_token_budget,
             )
         info = self._incremental.partial(pending)
         t_fed = self._feed_time_for(self._consumed + len(pending))
