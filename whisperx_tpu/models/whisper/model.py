@@ -222,6 +222,12 @@ def _use_flash_attention() -> bool:
     return os.environ.get("WHISPERX_TPU_FLASH", "1") == "1"
 
 
+def _use_cross_decode() -> bool:
+    from whisperx_tpu.ops.cross_attention_decode import use_cross_decode_kernel
+
+    return use_cross_decode_kernel()
+
+
 def _encoder_block(p, x, n_head):
     h = layer_norm(p["attn_ln"], x)
     q = shard(_split_heads(linear(p["attn"]["query"], h), n_head), DATA_AXIS, None, MODEL_AXIS)
@@ -372,21 +378,34 @@ def decoder_forward(
             q_eff = (
                 cq.astype(jnp.float32) * ck_i.scale * (dh**-0.5)
             ).astype(cq.dtype)
-            scores = jnp.einsum(
-                "bqhd,bkhd->bhqk",
-                q_eff,
-                ck_i.q8.astype(cq.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            weights = jax.nn.softmax(scores, axis=-1)
-            cattn = jnp.einsum(
-                "bhqk,bkhd->bqhd",
-                weights.astype(cq.dtype),
-                cv_i.q8.astype(cq.dtype),
-                preferred_element_type=jnp.float32,
-            ) * cv_i.scale  # [B,1,H,D] broadcasts over the query axis
-            cattn = cattn.astype(cq.dtype)
-            cw = scores if capture_cross_qk else None
+            if t_new == 1 and not capture_cross_qk and _use_cross_decode():
+                # experimental opt-in (measured NEGATIVE result — the
+                # q_len=1 stream is MXU-feed-bound and the einsum below
+                # already sits at that wall; see ops/cross_attention_decode
+                # docstring and tools/probe_kv_layout.py)
+                from whisperx_tpu.ops.cross_attention_decode import (
+                    cross_attention_decode,
+                )
+
+                cattn = cross_attention_decode(q_eff, ck_i.q8, cv_i.q8)
+                cw = None
+            else:
+                scores = jnp.einsum(
+                    "bqhd,bkhd->bhqk",
+                    q_eff,
+                    ck_i.q8.astype(cq.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                weights = jax.nn.softmax(scores, axis=-1)
+                cattn = jnp.einsum(
+                    "bhqk,bkhd->bqhd",
+                    weights.astype(cq.dtype),
+                    cv_i.q8.astype(cq.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                cw = scores if capture_cross_qk else None
+            # [B,1,H,D] V scales broadcast over the query axis
+            cattn = (cattn * cv_i.scale).astype(cq.dtype)
         else:
             cattn, cw = qkv_attention(
                 cq, ck_i, cv_i, return_weights=capture_cross_qk
