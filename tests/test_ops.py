@@ -53,6 +53,16 @@ def test_flash_attention_api_shape():
     assert float(jnp.abs(out).max()) <= float(jnp.abs(v).max()) + 1e-4
 
 
+def test_wholek_kernel_matches_xla():
+    """One-shot whole-K kernel (the encoder default on TPU) vs XLA."""
+    from whisperx_tpu.ops.flash_attention import _flash_attention_wholek
+
+    q, k, v = _qkv(bh=3, tq=256, tk=300, seed=4)
+    ref = np.asarray(_xla_attention(q, k, v))
+    out = np.asarray(_flash_attention_wholek(q, k, v, bq=128, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
 def test_quant_matmul_pallas_interpret():
     """Fused int8 dequant-matmul kernel vs the XLA dequant-dot oracle."""
     from jax.experimental.pallas import tpu as pltpu

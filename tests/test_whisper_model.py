@@ -109,6 +109,29 @@ def test_cross_qk_capture(nano_model):
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
 
 
+def test_conv1d_matches_lax_conv():
+    """The shifted-matmul stem is bit-for-bit the conv it replaces (f32)."""
+    from whisperx_tpu.models.whisper.model import _conv1d
+
+    rng = np.random.default_rng(0)
+    for t, c_in, c_out, stride in [(64, 8, 16, 1), (64, 16, 16, 2), (30, 5, 7, 2)]:
+        x = jnp.asarray(rng.standard_normal((2, t, c_in)), jnp.float32)
+        p = {
+            "w": jnp.asarray(rng.standard_normal((3, c_in, c_out)), jnp.float32),
+            "b": jnp.asarray(rng.standard_normal((c_out,)), jnp.float32),
+        }
+        ref = jax.lax.conv_general_dilated(
+            x,
+            p["w"],
+            window_strides=(stride,),
+            padding=((1, 1),),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        ) + p["b"]
+        out = _conv1d(p, x, stride)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_model_dims_registry():
     d = get_dims("large-v3")
     assert d.n_mels == 128 and d.n_vocab == 51866 and d.num_languages == 100

@@ -86,24 +86,28 @@ def main():
     mel = jax.block_until_ready(gen_mel(0))
     x0 = jax.block_until_ready(gen_x(1))
 
+    # params are ALWAYS jit arguments — closing a jit over GB-scale device
+    # arrays embeds them as compile-time constants and compilation hangs
+    # (same trap as tools/profile_decode.py / probe_kv_layout.py).
     @jax.jit
-    def full(mel):
-        return encoder_forward(params, mel, h)
+    def full(p, mel):
+        return encoder_forward(p, mel, h)
 
     @jax.jit
-    def stem(mel):
-        x = jax.nn.gelu(_conv1d(enc["conv1"], mel, stride=1))
-        x = jax.nn.gelu(_conv1d(enc["conv2"], x, stride=2))
-        return x + enc["pos_emb"][None, : x.shape[1]]
+    def stem(p, mel):
+        e = p["encoder"]
+        x = jax.nn.gelu(_conv1d(e["conv1"], mel, stride=1))
+        x = jax.nn.gelu(_conv1d(e["conv2"], x, stride=2))
+        return x + e["pos_emb"][None, : x.shape[1]]
 
     @jax.jit
-    def blocks(x):
-        for blk in enc["blocks"]:
+    def blocks(p, x):
+        for blk in p["encoder"]["blocks"]:
             x = _encoder_block(blk, x, h)
         return x
 
     @jax.jit
-    def attn_only(x):
+    def attn_only(p, x):
         from whisperx_tpu.models.whisper.model import (
             _merge_heads,
             _split_heads,
@@ -112,7 +116,7 @@ def main():
         )
         from whisperx_tpu.ops.flash_attention import flash_attention
 
-        for blk in enc["blocks"]:
+        for blk in p["encoder"]["blocks"]:
             hh = layer_norm(blk["attn_ln"], x)
             q = _split_heads(linear(blk["attn"]["query"], hh), h)
             k = _split_heads(linear(blk["attn"]["key"], hh), h)
@@ -125,8 +129,8 @@ def main():
         return x
 
     @jax.jit
-    def mlp_only(x):
-        for blk in enc["blocks"]:
+    def mlp_only(p, x):
+        for blk in p["encoder"]["blocks"]:
             hh = layer_norm(blk["mlp_ln"], x)
             hh = jax.nn.gelu(linear(blk["mlp1"], hh))
             x = x + linear(blk["mlp2"], hh)
@@ -149,7 +153,7 @@ def main():
         ("mlp_sublayers", mlp_only, x0, batch * n_layer * 2 * t * d * 4 * d * 2),
     ]:
         log(f"compiling+timing {name}...")
-        s = timed(fn, arg)
+        s = timed(fn, params, arg)
         tflops = flops / s / 1e12
         results[name] = {
             "ms": round(s * 1000, 2),

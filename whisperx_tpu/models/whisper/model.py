@@ -187,15 +187,30 @@ def qkv_attention(
 
 
 def _conv1d(p, x, stride):
-    # x: [B, T, C]; w: [W, I, O]
-    y = jax.lax.conv_general_dilated(
-        x,
-        p["w"].astype(x.dtype),
-        window_strides=(stride,),
-        padding=((1, 1),),
-        dimension_numbers=("NHC", "HIO", "NHC"),
-    )
-    return y + p["b"]
+    """Width-3, pad-1 conv as THREE shifted matmuls on the MXU.
+
+    XLA's 1-D conv lowering ran the stem at 2% MXU utilization (38.7 ms
+    of a 249 ms batch-8 large-v3 encoder pass, tools/profile_encoder.py);
+    y[o] = Σ_w x[o·stride − 1 + w] @ W[w] is exactly three dense GEMMs
+    over strided views, which is the shape the MXU wants.
+
+    x: [B, T, C]; w: [3, I, O]; same semantics as
+    lax.conv_general_dilated(NHC, HIO, stride, pad (1,1)) — pinned by
+    tests/test_whisper_model.py::test_conv1d_matches_lax_conv.
+    """
+    w = p["w"].astype(x.dtype)
+    t = x.shape[1]
+    t_out = (t + 2 - 3) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    y = None
+    for i in range(3):
+        xs = jax.lax.slice_in_dim(xp, i, i + t, axis=1)
+        if stride != 1:
+            xs = xs[:, ::stride]
+        xs = xs[:, :t_out]
+        yi = jnp.dot(xs, w[i], preferred_element_type=jnp.float32)
+        y = yi if y is None else y + yi
+    return y.astype(x.dtype) + p["b"]
 
 
 def encoder_forward(params: Params, mel: jnp.ndarray, n_head: int) -> jnp.ndarray:

@@ -119,6 +119,65 @@ def _flash_attention_pallas(q, k, v, causal=False, bq=256, bk=512, interpret=Fal
     )(q, k, v)
 
 
+def _wholek_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """One-shot softmax over the FULL key axis held in VMEM.
+
+    For whisper-sized heads (Dh=64, Tk≤1500) K and V for one (b,h) are
+    ~190 KB each — far under VMEM — so the online-softmax recurrence,
+    its scratch traffic, and the 3-deep grid are pure overhead. Grid is
+    (BH, Tq/bq); each program does two MXU dots and one row softmax.
+    """
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [TK, D]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, TK]
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # normalize the [BQ, D] output, not the [BQ, TK] weights — one fewer
+    # VPU pass over the score matrix (the kernel is VPU-bound: softmax
+    # passes over [T,T] dominate at Dh=64, tools/probe_flash.py)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "interpret"))
+def _flash_attention_wholek(q, k, v, bq=512, interpret=False):
+    """q: [BH, Tq, D], k/v: [BH, Tk, D] → [BH, Tq, D]; non-causal only."""
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    bq = min(bq, tq)
+    scale = 1.0 / math.sqrt(d)
+    grid = (bh, pl.cdiv(tq, bq))
+    return pl.pallas_call(
+        functools.partial(_wholek_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * tq * tk * d,
+            bytes_accessed=2 * bh * (tq * 2 + 2 * tk) * d,
+            transcendentals=bh * tq * tk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _xla_attention(q, k, v, causal=False):
     d = q.shape[-1]
     s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
@@ -154,7 +213,14 @@ def flash_attention(
         and tq * tk >= FLASH_THRESHOLD_ELEMENTS
     )
     if use_pallas:
-        out = _flash_attention_pallas(qb, kb, vb, causal=causal)
+        # kernel shootout (tools/probe_flash.py, whisper encoder shape):
+        # whole-K one-shot 5.2 ms/layer vs 7.3 for the old bq256/bk512
+        # online-softmax tiling — K/V for one head fit VMEM easily at
+        # Dh=64, so the recurrence and 3-deep grid were pure overhead.
+        if not causal and tk <= 2048:
+            out = _flash_attention_wholek(qb, kb, vb, bq=512)
+        else:
+            out = _flash_attention_pallas(qb, kb, vb, causal=causal, bq=512, bk=1536)
     else:
         out = _xla_attention(qb, kb, vb, causal=causal)
     return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
