@@ -53,7 +53,9 @@ pipeline = whisperx_tpu.load_model(
     vad_method="energy",
     language="en",
     asr_options={
-        "draft_model": draft,  # or a model name / checkpoint path
+        "draft_model": draft,  # or a model name / checkpoint path, or
+        # "self:8" to draft from the target's own first 8 decoder layers
+        # (no second checkpoint; speedup depends on early-exit agreement)
         "spec_gamma": 4,
         "temperatures": (0.0,),
         "sample_len": 16,

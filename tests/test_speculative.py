@@ -204,6 +204,35 @@ def test_pipeline_draft_model_token_identity(nano_model):
     assert GLOBAL_TRACKER.counters["spec_target_passes"] > 0
 
 
+def test_pipeline_self_draft_token_identity(nano_model):
+    """draft_model='self:N' builds a truncated self-draft (no second
+    checkpoint) and stays token-identical to the plain pipeline."""
+    from tests.conftest import synth_speech
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.vad import load_vad_model
+
+    audio = synth_speech(20.0, seed=3)
+    common = {"temperatures": (0.0,), "sample_len": 10, "kv_quant": False}
+
+    ref = TranscriptionPipeline(
+        model=nano_model,
+        vad_model=load_vad_model("energy"),
+        asr_options=dict(common),
+        language="en",
+    ).transcribe(audio, batch_size=2)
+
+    spec_pipe = TranscriptionPipeline(
+        model=nano_model,
+        vad_model=load_vad_model("energy"),
+        asr_options={**common, "draft_model": "self:1", "spec_gamma": 2},
+        language="en",
+    )
+    out = spec_pipe.transcribe(audio, batch_size=2)
+    assert out["segments"] == ref["segments"]
+    assert spec_pipe._spec_decoder is not None
+    assert spec_pipe._spec_decoder.draft.dims.n_text_layer == 1
+
+
 def test_scaled_tail_dials_acceptance(nano_model):
     """scaled_tail_model: alpha=0 reproduces exact agreement (acceptance=1
     with the truncated self-draft); a large alpha lowers acceptance —

@@ -64,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--beam_size", type=optional_int, default=5, help="number of beams in beam search, only applicable when temperature is zero")
     parser.add_argument("--patience", type=float, default=1.0, help="optional patience value to use in beam decoding")
     parser.add_argument("--length_penalty", type=float, default=1.0, help="optional token length penalty coefficient (alpha)")
-    parser.add_argument("--draft_model", type=str, default=None, help="name or checkpoint path of a draft Whisper model (e.g. a distil variant) enabling speculative decoding — greedy batched decode only; output is token-identical to non-speculative greedy decoding")
+    parser.add_argument("--draft_model", type=str, default=None, help="enables speculative decoding: name or checkpoint path of a draft Whisper model (e.g. a distil variant), or 'self:N' to draft from the target's own first N decoder layers (no second checkpoint; speedup depends on early-exit agreement). Greedy batched decode only; output is token-identical to non-speculative greedy decoding")
     parser.add_argument("--spec_gamma", type=int, default=4, help="tokens drafted per speculative verify pass (only with --draft_model)")
 
     parser.add_argument("--suppress_tokens", type=str, default="-1", help="comma-separated list of token ids to suppress during sampling; '-1' suppresses most special characters except common punctuations")

@@ -138,7 +138,22 @@ class TranscriptionPipeline:
             from whisperx_tpu.decoding.speculative import SpeculativeDecoder
 
             draft = self.asr_options["draft_model"]
-            if isinstance(draft, str):
+            if isinstance(draft, str) and draft.startswith("self:"):
+                # "self:N" — draft from the target's own first N decoder
+                # layers (weights shared, no second checkpoint). The
+                # mechanism is exact (output token-identical to plain
+                # greedy); the SPEEDUP depends on how often the early-exit
+                # logits agree with the full model, which is model- and
+                # data-dependent — distil drafts are the recommended
+                # production configuration.
+                from whisperx_tpu.decoding.speculative import (
+                    truncated_self_draft,
+                )
+
+                draft = truncated_self_draft(
+                    self.model, int(draft.split(":", 1)[1])
+                )
+            elif isinstance(draft, str):
                 from whisperx_tpu.models.whisper import load_model as _load
 
                 draft = _load(draft, dtype=self.model.dtype)
