@@ -20,6 +20,10 @@ class StageStats:
     calls: int = 0
     total_s: float = 0.0
     audio_s: float = 0.0
+    # per-call extremes: warmup/compile calls and tunnel stalls hide in
+    # totals; min_s is the steady-state cost, max_s the worst call
+    min_s: float = float("inf")
+    max_s: float = 0.0
 
     @property
     def rtf(self) -> float:
@@ -49,6 +53,8 @@ class RTFTracker:
             s.calls += 1
             s.total_s += dt
             s.audio_s += audio_seconds
+            s.min_s = min(s.min_s, dt)
+            s.max_s = max(s.max_s, dt)
 
     def add(self, counter: str, value: float = 1.0) -> None:
         self.counters[counter] += value
@@ -64,6 +70,8 @@ class RTFTracker:
                 "total_s": round(s.total_s, 4),
                 "audio_s": round(s.audio_s, 2),
                 "rtf": round(s.rtf, 2),
+                "min_s": round(s.min_s, 4) if s.calls else 0.0,
+                "max_s": round(s.max_s, 4),
             }
             for name, s in self.stages.items()
         }
