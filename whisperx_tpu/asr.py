@@ -16,6 +16,7 @@ mlx_simple.py:154-194); here VAD chunks are decoded as REAL device batches:
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import List, Optional, Union
 
@@ -224,7 +225,8 @@ class TranscriptionPipeline:
 
         # Device-side chunking: ONE upload of the raw waveform; VAD probs,
         # chunk slicing, and mels all read the resident array.
-        audio_dev = upload_audio(audio)
+        with _tracker.track("upload", len(audio) / SAMPLE_RATE):
+            audio_dev = upload_audio(audio)
         with _tracker.track("vad", len(audio) / SAMPLE_RATE):
             chunks = self._segment_with_vad(audio_dev, chunk_size)
         if not chunks:
@@ -545,29 +547,32 @@ class TranscriptionPipeline:
             # device), then materialize — converting between groups would
             # leave the device idle during each host round-trip
             handles = []
-            for base in range(0, len(pending), bs_eff):
-                idxs = pending[base : base + bs_eff]
-                rows = mels[jnp.asarray(idxs)]  # device gather
-                if len(idxs) < bs_eff:
-                    rows = jnp.concatenate(
-                        [
-                            rows,
-                            jnp.zeros(
-                                (bs_eff - len(idxs), N_FRAMES, n_mels),
-                                rows.dtype,
-                            ),
-                        ]
-                    )
-                if spec is not None:
-                    handles.append(
-                        (idxs, spec.decode_batch_dispatch(rows, opts))
-                    )
-                else:
-                    handles.append(
-                        (idxs, decode_dispatch(self.model, rows, opts))
-                    )
-                _tracker.add("batch_slots", bs_eff)
-                _tracker.add("batch_used", len(idxs))
+            # dispatch phase is host-side tracing/queuing only (device
+            # work lands in the finalize-phase "decode" stage)
+            with _tracker.track("dispatch"):
+                for base in range(0, len(pending), bs_eff):
+                    idxs = pending[base : base + bs_eff]
+                    rows = mels[jnp.asarray(idxs)]  # device gather
+                    if len(idxs) < bs_eff:
+                        rows = jnp.concatenate(
+                            [
+                                rows,
+                                jnp.zeros(
+                                    (bs_eff - len(idxs), N_FRAMES, n_mels),
+                                    rows.dtype,
+                                ),
+                            ]
+                        )
+                    if spec is not None:
+                        handles.append(
+                            (idxs, spec.decode_batch_dispatch(rows, opts))
+                        )
+                    else:
+                        handles.append(
+                            (idxs, decode_dispatch(self.model, rows, opts))
+                        )
+                    _tracker.add("batch_slots", bs_eff)
+                    _tracker.add("batch_used", len(idxs))
             for gi, (idxs, handle) in enumerate(handles):
                 with _tracker.track(
                     "decode", sum(chunks[i]["end"] - chunks[i]["start"] for i in idxs)
@@ -596,6 +601,7 @@ class TranscriptionPipeline:
         from whisperx_tpu.audio.constants import FRAMES_PER_SECOND
         from whisperx_tpu.decoding.transcribe import split_timestamp_segments
 
+        _t_tok = time.perf_counter()
         tokenizer = get_tokenizer(
             self.model.is_multilingual,
             num_languages=self.model.num_languages,
@@ -603,9 +609,11 @@ class TranscriptionPipeline:
             task=task,
             vocab_path=self.model.vocab_path,
         )
+        _tracker.observe("tokenizer", time.perf_counter() - _t_tok)
         with_timestamps = not o["without_timestamps"]
 
         chunk_segs: List[List[dict]] = [[] for _ in chunks]
+        _t_assemble = time.perf_counter()
         for idx, (ch, r) in enumerate(zip(chunks, results)):
             if r is None:
                 continue
@@ -664,6 +672,7 @@ class TranscriptionPipeline:
                     }
                 )
 
+        _tracker.observe("assemble", time.perf_counter() - _t_assemble)
         if o["word_timestamps"]:
             from whisperx_tpu.timing import add_word_timestamps_batched
 

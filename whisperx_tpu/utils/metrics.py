@@ -59,6 +59,15 @@ class RTFTracker:
     def add(self, counter: str, value: float = 1.0) -> None:
         self.counters[counter] += value
 
+    def observe(self, stage: str, seconds: float, audio_seconds: float = 0.0) -> None:
+        """Record an externally-timed interval against a stage."""
+        s = self.stages[stage]
+        s.calls += 1
+        s.total_s += seconds
+        s.audio_s += audio_seconds
+        s.min_s = min(s.min_s, seconds)
+        s.max_s = max(s.max_s, seconds)
+
     def reset(self) -> None:
         self.stages.clear()
         self.counters.clear()
