@@ -63,6 +63,18 @@ def test_wholek_kernel_matches_xla():
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
 
 
+def test_wholek_kernel_ragged_q_blocks():
+    """tq NOT a multiple of bq: the overhanging q rows are grid padding
+    whose outputs must be dropped, not written into the result."""
+    from whisperx_tpu.ops.flash_attention import _flash_attention_wholek
+
+    q, k, v = _qkv(bh=2, tq=200, tk=256, seed=5)  # 200 = 128 + 72
+    ref = np.asarray(_xla_attention(q, k, v))
+    out = np.asarray(_flash_attention_wholek(q, k, v, bq=128, interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
 def test_quant_matmul_pallas_interpret():
     """Fused int8 dequant-matmul kernel vs the XLA dequant-dot oracle."""
     from jax.experimental.pallas import tpu as pltpu
