@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Device-tunnel health probe — run BEFORE recording any benchmark.
+
+The axon tunnel degrades in distinct modes (observed and documented in
+docs/PERFORMANCE.md): full stall (even a 4-byte device_get hangs),
+per-process first-transfer stall (2-7 min, size-independent), and slow
+regimes (bandwidth 1.5-2x off). Benchmarks recorded during degradation
+understate the code. This prints a one-line JSON verdict:
+
+  healthy   roundtrip < 5 s and upload >= 20 MB/s
+  stalled   first roundtrip took > 60 s (or timed out upstream)
+  slow      transfers complete but bandwidth < 20 MB/s
+
+Usage: timeout 600 python tools/tunnel_probe.py
+(exit 0 healthy / 2 slow / 3 stalled-but-recovered; a hard hang is the
+caller's timeout).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    x = jnp.ones((8, 8), jnp.float32)
+    np.asarray(x[:1, :1])
+    t_round = time.time() - t0
+
+    mb = 16
+    host = np.random.default_rng(0).standard_normal(mb * 131072).astype(np.float32)
+    t0 = time.time()
+    dev = jax.device_put(host)
+    np.asarray(dev[:1])
+    t_up = time.time() - t0
+    up_mbps = mb * 4 / t_up
+
+    t0 = time.time()
+    _ = np.asarray(dev)
+    t_down = time.time() - t0
+    down_mbps = mb * 4 / t_down
+
+    if t_round > 60:
+        verdict, code = "stalled", 3
+    elif up_mbps < 20:
+        verdict, code = "slow", 2
+    else:
+        verdict, code = "healthy", 0
+    print(
+        json.dumps(
+            {
+                "verdict": verdict,
+                "roundtrip_s": round(t_round, 2),
+                "upload_mbps": round(up_mbps, 1),
+                "download_mbps": round(down_mbps, 1),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+    sys.exit(code)
+
+
+if __name__ == "__main__":
+    main()
