@@ -75,6 +75,40 @@ def test_wholek_kernel_ragged_q_blocks():
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("variant", ["skip_max", "mxu_sum"])
+def test_wholek_softmax_variants_match_xla(variant):
+    """exp2/VPU-economy variants: skip-max (no row-max pass) and mxu-sum
+    (denominator from a ones column in the second dot) vs the XLA oracle."""
+    from whisperx_tpu.ops.flash_attention import _flash_attention_wholek
+
+    q, k, v = _qkv(bh=2, tq=200, tk=300, seed=6)
+    ref = np.asarray(_xla_attention(q, k, v))
+    out = np.asarray(
+        _flash_attention_wholek(
+            q, k, v, bq=128,
+            skip_max=(variant == "skip_max"),
+            mxu_sum=(variant == "mxu_sum"),
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_wholek_skip_max_large_logits_stay_finite():
+    """skip_max works unstabilized: post-scale logits up to ~±50 (well above
+    trained whisper's ~±30 and below the f32 exp2 bound ≈88) stay finite."""
+    from whisperx_tpu.ops.flash_attention import _flash_attention_wholek
+
+    q, k, v = _qkv(bh=1, tq=128, tk=128, seed=7)
+    q = q * 10.0  # post-scale scores ~ N(0,10), extremes ≈ ±45
+    ref = np.asarray(_xla_attention(q, k, v))
+    out = np.asarray(
+        _flash_attention_wholek(q, k, v, bq=128, skip_max=True, interpret=True)
+    )
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)
+
+
 def test_quant_matmul_pallas_interpret():
     """Fused int8 dequant-matmul kernel vs the XLA dequant-dot oracle."""
     from jax.experimental.pallas import tpu as pltpu

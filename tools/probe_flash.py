@@ -92,6 +92,19 @@ def main():
             (f"wholek_bq{bq}",
              lambda q, k, v, bq=bq: _flash_attention_wholek(q, k, v, bq=bq))
         )
+    # VPU-economy variants (round 3 late): drop the row-max pass / move the
+    # softmax denominator onto the MXU via a ones column
+    for bq in (512, 768):
+        modes.append(
+            (f"wholek_skipmax_bq{bq}",
+             lambda q, k, v, bq=bq: _flash_attention_wholek(
+                 q, k, v, bq=bq, skip_max=True))
+        )
+        modes.append(
+            (f"wholek_mxusum_bq{bq}",
+             lambda q, k, v, bq=bq: _flash_attention_wholek(
+                 q, k, v, bq=bq, mxu_sum=True))
+        )
 
     results = {}
     for name, attn in modes:

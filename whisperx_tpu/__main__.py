@@ -95,9 +95,29 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _pin_platform(device: str) -> None:
+    """Honor --device / JAX_PLATFORMS before any JAX backend initializes.
+
+    The env var alone is not reliable: a TPU host's sitecustomize may
+    force-register its platform in every process, so ``--device cpu`` (or
+    JAX_PLATFORMS=cpu) must be applied via jax.config before first backend
+    touch — this also keeps the CLI usable when the TPU transport is down.
+    """
+    import os
+
+    # default device=tpu → leave JAX's own platform selection alone (the
+    # accelerator platform may be named differently, e.g. a tunneled chip)
+    want = os.environ.get("JAX_PLATFORMS") or ("cpu" if device == "cpu" else None)
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def cli():
     parser = build_parser()
     args = parser.parse_args().__dict__
+    _pin_platform(args.get("device", "tpu"))
 
     from whisperx_tpu.transcribe import transcribe_task
 

@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
+LOG2_E = math.log2(math.e)
 
 # below this many score elements plain XLA attention wins (same instinct as
 # the reference's 1M-element threshold, mlx_flash_attention.py:71-75)
@@ -46,12 +47,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, c
 
     @pl.when(run if causal else True)
     def _():
-        q = q_ref[:]  # [BQ, D]
+        # scale×log2(e) folded into the [BQ,D] q block (23× fewer elements
+        # than scaling [BQ,BK]); exp→exp2, the VPU's native transcendental
+        q = (q_ref[:].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [BQ, D]
         k = k_ref[:]  # [BK, D]
         v = v_ref[:]  # [BK, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [BQ, BK]
+        )  # [BQ, BK], log2 space
 
         if causal:
             q_pos = q_idx * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -62,8 +65,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, c
         l_prev = l_ref[:]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # [BQ, BK]
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)  # [BQ, BK]
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
 
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -85,7 +88,7 @@ def _flash_attention_pallas(q, k, v, causal=False, bq=256, bk=512, interpret=Fal
     tk = k.shape[1]
     bq = min(bq, tq)
     bk = min(bk, tk)
-    scale = 1.0 / math.sqrt(d)
+    scale = LOG2_E / math.sqrt(d)
 
     grid = (bh, pl.cdiv(tq, bq), pl.cdiv(tk, bk))
     return pl.pallas_call(
@@ -119,49 +122,98 @@ def _flash_attention_pallas(q, k, v, causal=False, bq=256, bk=512, interpret=Fal
     )(q, k, v)
 
 
-def _wholek_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+def _wholek_kernel(q_ref, k_ref, v_ref, o_ref, *, kscale, skip_max):
     """One-shot softmax over the FULL key axis held in VMEM.
 
     For whisper-sized heads (Dh=64, Tk≤1500) K and V for one (b,h) are
     ~190 KB each — far under VMEM — so the online-softmax recurrence,
     its scratch traffic, and the 3-deep grid are pure overhead. Grid is
     (BH, Tq/bq); each program does two MXU dots and one row softmax.
+
+    VPU economy (the kernel is VPU-bound: softmax passes over the
+    [BQ,TK] score matrix dominate at Dh=64, tools/probe_flash.py):
+    - the softmax scale × log2(e) is folded into the [BQ,D] q block
+      (23× fewer elements than scaling [BQ,TK]) and exp → exp2, the
+      VPU's native transcendental;
+    - normalization divides the [BQ,D] output, not the [BQ,TK] weights;
+    - skip_max drops the row-max stabilization pass entirely: f32
+      overflows only when a post-scale logit exceeds 128/log2(e) ≈ 88
+      (trained whisper attention logits sit well under ~30) — opt-in
+      experiment, measured via tools/probe_flash.py.
     """
-    q = q_ref[0]  # [BQ, D]
+    q = (q_ref[0].astype(jnp.float32) * kscale).astype(q_ref.dtype)  # [BQ, D]
     k = k_ref[0]  # [TK, D]
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BQ, TK]
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
+    )  # [BQ, TK], already scaled, log2 space
+    if skip_max:
+        p = jnp.exp2(s)
+    else:
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # normalize the [BQ, D] output, not the [BQ, TK] weights — one fewer
-    # VPU pass over the score matrix (the kernel is VPU-bound: softmax
-    # passes over [T,T] dominate at Dh=64, tools/probe_flash.py)
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "interpret"))
-def _flash_attention_wholek(q, k, v, bq=512, interpret=False):
+def _wholek_mxusum_kernel(q_ref, k_ref, v_ref, o_ref, *, kscale, d):
+    """Whole-K variant: softmax denominator comes out of the MXU.
+
+    v arrives padded to [TK, 2D] with a ones column at index d; the
+    second dot then yields [o | l] in one shot, trading one full-row VPU
+    sum reduction over [BQ,TK] for extra MXU lanes (the dots are ~1 ms
+    of the 5.2 ms layer, the VPU passes the rest — measured tradeoff,
+    tools/probe_flash.py).
+    """
+    q = (q_ref[0].astype(jnp.float32) * kscale).astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]  # [TK, 2D]; [:, :d]=v, [:, d]=1, rest 0
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(s - m)
+    ol = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, 2D]
+    o_ref[0] = (ol[:, :d] / ol[:, d:d + 1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bq", "skip_max", "mxu_sum", "interpret")
+)
+def _flash_attention_wholek(q, k, v, bq=512, skip_max=False, mxu_sum=False,
+                            interpret=False):
     """q: [BH, Tq, D], k/v: [BH, Tk, D] → [BH, Tq, D]; non-causal only."""
     bh, tq, d = q.shape
     tk = k.shape[1]
     bq = min(bq, tq)
-    scale = 1.0 / math.sqrt(d)
+    kscale = LOG2_E / math.sqrt(d)
     grid = (bh, pl.cdiv(tq, bq))
+    if mxu_sum:
+        # ones column at index d; pad to 2D to keep the lane axis aligned
+        v = jnp.concatenate(
+            [v, jnp.ones((bh, tk, 1), v.dtype),
+             jnp.zeros((bh, tk, d - 1), v.dtype)], axis=-1)
+        kernel = functools.partial(_wholek_mxusum_kernel, kscale=kscale, d=d)
+        v_width = 2 * d
+    else:
+        kernel = functools.partial(
+            _wholek_kernel, kscale=kscale, skip_max=skip_max)
+        v_width = d
     return pl.pallas_call(
-        functools.partial(_wholek_kernel, scale=scale),
+        kernel,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, v_width), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -171,7 +223,7 @@ def _flash_attention_wholek(q, k, v, bq=512, interpret=False):
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * tq * tk * d,
-            bytes_accessed=2 * bh * (tq * 2 + 2 * tk) * d,
+            bytes_accessed=2 * bh * (tq * 2 + tk * (d + v_width) // d) * d,
             transcendentals=bh * tq * tk,
         ),
         interpret=interpret,
