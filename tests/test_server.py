@@ -1,0 +1,259 @@
+"""HTTP serving layer tests (stdlib client vs in-process server).
+
+The server wraps ContinuousBatcher (batch endpoint) and per-session
+StreamingTranscribers (stream endpoints); these tests drive it over real
+sockets with a FakePipeline so they stay fast.
+"""
+
+import io
+import json
+import sys
+import urllib.error
+import urllib.request
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+from conftest import synth_speech
+
+from whisperx_tpu.serve.batching import BatchConfig
+from whisperx_tpu.serve.server import TranscriptionServer, _decode_body
+
+
+class FakePipeline:
+    def __init__(self):
+        self.calls = []
+        self.language = "en"
+        self.task = "transcribe"
+
+    def transcribe(self, audio, batch_size=8, **kw):
+        self.calls.append((len(audio), kw))
+        return {
+            "segments": [
+                {"start": 0.0, "end": len(audio) / 16000, "text": "ok"}
+            ],
+            "language": "en",
+        }
+
+
+def _wav_bytes(audio: np.ndarray, sr: int = 16000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((audio * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def _post(url, body, headers=None, method="POST"):
+    req = urllib.request.Request(url, data=body, method=method)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+@pytest.fixture
+def server():
+    srv = TranscriptionServer(
+        FakePipeline(), model_name="fake", batch_config=BatchConfig(max_wait_ms=5)
+    )
+    port = srv.start_background(port=0)
+    yield srv, f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def test_healthz(server):
+    srv, base = server
+    with urllib.request.urlopen(base + "/healthz", timeout=10) as resp:
+        payload = json.loads(resp.read())
+    assert payload["status"] == "ok"
+    assert payload["model"] == "fake"
+    assert "queue_depth" in payload and "stats" in payload
+
+
+def test_transcription_wav_roundtrip(server):
+    srv, base = server
+    audio = synth_speech(2.0)
+    status, payload = _post(
+        base + "/v1/audio/transcriptions", _wav_bytes(audio),
+        {"Content-Type": "audio/wav"},
+    )
+    assert status == 200
+    assert payload["language"] == "en"
+    assert payload["segments"][0]["text"] == "ok"
+    assert abs(payload["segments"][0]["end"] - 2.0) < 0.05
+    assert "request_id" in payload and "wall_s" in payload
+
+
+def test_transcription_raw_pcm_f32_and_i16(server):
+    srv, base = server
+    audio = synth_speech(1.0)
+    for fmt, body in (
+        ("f32", audio.astype(np.float32).tobytes()),
+        ("i16", (audio * 32767).astype(np.int16).tobytes()),
+    ):
+        status, payload = _post(
+            base + "/v1/audio/transcriptions", body,
+            {"Content-Type": "audio/x-raw-pcm", "X-Format": fmt,
+             "X-Sample-Rate": "16000"},
+        )
+        assert status == 200
+        assert abs(payload["segments"][0]["end"] - 1.0) < 0.05
+
+
+def test_resampled_wav_body(server):
+    """8 kHz WAV body → resampled to 16 kHz before transcription."""
+    srv, base = server
+    audio = synth_speech(2.0)[::2]  # crude 8 kHz signal
+    status, payload = _post(
+        base + "/v1/audio/transcriptions", _wav_bytes(audio, sr=8000),
+        {"Content-Type": "audio/wav"},
+    )
+    assert status == 200
+    # duration preserved through resampling
+    assert abs(payload["segments"][0]["end"] - 2.0) < 0.1
+
+
+def test_error_routes(server):
+    srv, base = server
+    # unknown route → 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/v1/nope", b"x")
+    assert e.value.code == 404
+    # empty body → 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/v1/audio/transcriptions", b"",
+              {"Content-Type": "audio/x-raw-pcm"})
+    assert e.value.code == 400
+    # garbage container → 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/v1/audio/transcriptions", b"\x00" * 64,
+              {"Content-Type": "application/octet-stream"})
+    assert e.value.code == 400
+    # unknown stream id → 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/v1/stream/deadbeef0000/audio", b"\x00" * 2048,
+              {"Content-Type": "audio/x-raw-pcm"})
+    assert e.value.code == 404
+
+
+def test_stream_session_lifecycle(server):
+    srv, base = server
+    status, payload = _post(base + "/v1/stream/start", b"")
+    assert status == 200
+    sid = payload["stream_id"]
+
+    # speech then a long silence tail → the chunker flushes mid-stream
+    speech = synth_speech(2.0)
+    silence = np.zeros(16000, np.float32)
+    got_midstream = []
+    for piece in (speech[:16000], speech[16000:], silence):
+        status, payload = _post(
+            base + f"/v1/stream/{sid}/audio",
+            piece.astype(np.float32).tobytes(),
+            {"Content-Type": "audio/x-raw-pcm", "X-Format": "f32"},
+        )
+        assert status == 200
+        got_midstream.extend(payload["results"])
+
+    status, payload = _post(base + f"/v1/stream/{sid}/end", b"")
+    assert status == 200
+    texts = [r["text"] for r in payload["all_results"]]
+    assert texts and all(t == "ok" for t in texts)
+    # partial results arrived BEFORE stream end (the serving contract)
+    assert got_midstream, "no mid-stream results returned"
+    # the session is gone afterwards
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + f"/v1/stream/{sid}/end", b"")
+    assert e.value.code == 404
+
+
+def test_streaming_prev_text_conditioning():
+    """Committed text must reach the next chunk's decode as initial_prompt
+    (regression: the conditional was inverted and the kwarg dropped)."""
+    from whisperx_tpu.serve.streaming import (
+        StreamingConfig,
+        StreamingTranscriber,
+    )
+
+    pipe = FakePipeline()
+    tr = StreamingTranscriber(
+        pipe, StreamingConfig(condition_on_previous_text=True)
+    )
+    speech = synth_speech(2.0)
+    tr.feed(np.concatenate([speech, np.zeros(16000, np.float32)]))
+    tr.process_available()
+    tr.feed(np.concatenate([speech, np.zeros(16000, np.float32)]))
+    tr.process_available()
+    tr.stop()
+    assert len(pipe.calls) >= 2
+    # first chunk: no prompt; later chunks: committed text as prompt
+    assert "initial_prompt" not in pipe.calls[0][1]
+    assert pipe.calls[1][1].get("initial_prompt") == "ok"
+
+
+def test_decode_body_rejects_bad_format():
+    with pytest.raises(ValueError):
+        _decode_body(b"\x00" * 8, "audio/x-raw-pcm", {"X-Format": "f64"})
+
+
+def test_pipeline_initial_prompt_override(nano_model, monkeypatch):
+    """pipeline.transcribe(initial_prompt=...) must reach DecodingOptions
+    (the serving/streaming layers rely on this per-call override)."""
+    import whisperx_tpu.asr as asr_mod
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.decoding import get_tokenizer
+    from whisperx_tpu.decoding.decode import DecodingResult
+    from whisperx_tpu.vad.types import SpeechSegment
+
+    tok = get_tokenizer(True, language="en")
+    tb = tok.timestamp_begin
+    tokens = [tb, *tok.encode(" hi"), tb + 50]
+    seen_prompts = []
+
+    def fake_dispatch(model, mel, opts, **kw):
+        seen_prompts.append(opts.prompt)
+        return {
+            "done": [
+                DecodingResult(
+                    audio_features=None, language="en", tokens=list(tokens),
+                    text="hi", avg_logprob=-0.1, no_speech_prob=0.0,
+                    temperature=0.0, compression_ratio=1.0,
+                )
+                for _ in range(mel.shape[0])
+            ]
+        }
+
+    monkeypatch.setattr(asr_mod, "decode_dispatch", fake_dispatch)
+
+    class StubVAD:
+        vad_onset = 0.5
+        vad_offset = 0.363
+
+        def __call__(self, inp, max_speech_duration_s=30):
+            dur = len(inp["waveform"]) / inp["sample_rate"]
+            return [SpeechSegment(start=0.5, end=min(5.0, dur))]
+
+    pipe = TranscriptionPipeline(
+        model=nano_model,
+        vad_model=StubVAD(),
+        asr_options={
+            "temperatures": (0.0,),
+            "no_speech_threshold": None,
+            "log_prob_threshold": None,
+            "compression_ratio_threshold": None,
+        },
+        language="en",
+        batch_size=4,
+    )
+    audio = np.zeros(16000 * 6, np.float32)
+    pipe.transcribe(audio)
+    assert seen_prompts[-1] is None
+    pipe.transcribe(audio, initial_prompt="hello world")
+    expected = pipe.model_prompt("hello world")
+    assert seen_prompts[-1] == expected

@@ -191,6 +191,7 @@ class TranscriptionPipeline:
         print_progress: bool = False,
         combined_progress: bool = False,
         verbose: bool = False,
+        initial_prompt: Optional[str] = None,
         **kwargs,
     ) -> TranscriptionResult:
         if isinstance(audio, str):
@@ -206,7 +207,7 @@ class TranscriptionPipeline:
             # No VAD: full sequential seek-loop transcription.
             from whisperx_tpu.decoding.transcribe import transcribe as seq_transcribe
 
-            opts = self._seq_options()
+            opts = self._seq_options(initial_prompt=initial_prompt)
             result = seq_transcribe(
                 model=self.model,
                 audio=audio,
@@ -245,7 +246,8 @@ class TranscriptionPipeline:
 
         if self.decode_mode == "sequential":
             segments = self._transcribe_chunks_sequential(
-                audio, chunks, language=language, task=task, verbose=verbose
+                audio, chunks, language=language, task=task, verbose=verbose,
+                initial_prompt=initial_prompt,
             )
         else:
             segments = self._transcribe_chunks(
@@ -256,6 +258,7 @@ class TranscriptionPipeline:
                 task=task,
                 print_progress=print_progress,
                 verbose=verbose,
+                initial_prompt=initial_prompt,
             )
         return {"segments": segments, "language": language}
 
@@ -385,13 +388,14 @@ class TranscriptionPipeline:
         language: str,
         task: str,
         verbose: bool = False,
+        initial_prompt: Optional[str] = None,
     ) -> List[dict]:
         """Per-chunk seek-loop transcription with timestamp offsetting —
         the reference's sequential backend path (mlx_simple.py:154-194),
         kept for quality-maximal decoding of each VAD window."""
         from whisperx_tpu.decoding.transcribe import transcribe as seq_transcribe
 
-        opts = self._seq_options()
+        opts = self._seq_options(initial_prompt=initial_prompt)
         segments: List[dict] = []
         for ch in chunks:
             s = int(ch["start"] * SAMPLE_RATE)
@@ -426,15 +430,17 @@ class TranscriptionPipeline:
 
     # ------------------------------------------------------------------
 
-    def _seq_options(self) -> dict:
+    def _seq_options(self, initial_prompt: Optional[str] = None) -> dict:
         o = self.asr_options
+        if initial_prompt is None:
+            initial_prompt = o["initial_prompt"]
         return {
             "temperature": o["temperatures"],
             "compression_ratio_threshold": o["compression_ratio_threshold"],
             "logprob_threshold": o["log_prob_threshold"],
             "no_speech_threshold": o["no_speech_threshold"],
             "condition_on_previous_text": o["condition_on_previous_text"],
-            "initial_prompt": o["initial_prompt"],
+            "initial_prompt": initial_prompt,
             "word_timestamps": o["word_timestamps"],
             "beam_size": o["beam_size"],
             "best_of": o["best_of"],
@@ -477,10 +483,13 @@ class TranscriptionPipeline:
         print_progress: bool = False,
         verbose: bool = False,
         mels: Optional[jnp.ndarray] = None,
+        initial_prompt: Optional[str] = None,
     ) -> List[dict]:
         from whisperx_tpu.utils.metrics import GLOBAL_TRACKER as _tracker
 
         o = self.asr_options
+        if initial_prompt is None:
+            initial_prompt = o["initial_prompt"]
         n_mels = self.model.dims.n_mels
 
         # One mel per chunk, gathered ON DEVICE from the resident waveform
@@ -512,7 +521,7 @@ class TranscriptionPipeline:
                 patience=o["patience"] if temperature == 0 else None,
                 length_penalty=o["length_penalty"],
                 prompt=(
-                    self.model_prompt(o["initial_prompt"]) if o["initial_prompt"] else None
+                    self.model_prompt(initial_prompt) if initial_prompt else None
                 ),
                 suppress_tokens=o["suppress_tokens"],
                 suppress_blank=o["suppress_blank"],

@@ -12,8 +12,10 @@ from whisperx_tpu.serve.streaming import (
     StreamingConfig,
     StreamingTranscriber,
 )
+from whisperx_tpu.serve.server import TranscriptionServer
 
 __all__ = [
+    "TranscriptionServer",
     "BatchConfig",
     "ContinuousBatcher",
     "DynamicBatchScheduler",

@@ -1,0 +1,62 @@
+"""Serve a Whisper transcription HTTP endpoint.
+
+Usage:
+    python -m whisperx_tpu.serve --model large-v3 --port 9090
+    curl -s -X POST --data-binary @clip.wav \
+        http://127.0.0.1:9090/v1/audio/transcriptions | jq .
+"""
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        prog="whisperx_tpu.serve",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("--model", default="small", help="Whisper model name or converted checkpoint dir")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=9090)
+    parser.add_argument("--device", default="tpu", help="tpu (default) or cpu")
+    parser.add_argument("--compute_type", default="bfloat16", choices=["bfloat16", "float16", "float32", "int8", "int4"])
+    parser.add_argument("--language", default=None, help="pin the transcription language (default: auto-detect)")
+    parser.add_argument("--task", default="transcribe", choices=["transcribe", "translate"])
+    parser.add_argument("--vad_method", default="silero", help="silero | pyannote | energy | none")
+    parser.add_argument("--batch_size", type=int, default=16, help="device decode batch size")
+    parser.add_argument("--max_batch_size", type=int, default=8, help="max requests coalesced per serving batch")
+    parser.add_argument("--max_wait_ms", type=float, default=100.0, help="max time to wait for batch stragglers")
+    args = parser.parse_args()
+
+    from whisperx_tpu.__main__ import _pin_platform
+
+    _pin_platform(args.device)
+
+    from whisperx_tpu.asr import load_model
+    from whisperx_tpu.serve.batching import BatchConfig
+    from whisperx_tpu.serve.server import TranscriptionServer
+
+    pipeline = load_model(
+        args.model,
+        device=args.device,
+        compute_type=args.compute_type,
+        language=args.language,
+        vad_method=args.vad_method,
+        task=args.task,
+        batch_size=args.batch_size,
+    )
+    server = TranscriptionServer(
+        pipeline,
+        model_name=args.model,
+        batch_config=BatchConfig(
+            max_batch_size=args.max_batch_size, max_wait_ms=args.max_wait_ms
+        ),
+    )
+    print(f"whisperx-tpu serving {args.model} on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever(args.host, args.port)
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

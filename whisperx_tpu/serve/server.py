@@ -1,0 +1,302 @@
+"""HTTP transcription server (stdlib-only, no web framework).
+
+Deployable front end for the serving layer: batch requests flow through
+``ContinuousBatcher`` (cross-request coalescing into shared device
+batches), live audio through per-session ``StreamingTranscriber``s.  The
+reference ships the scheduler/streaming *classes* but no server
+(backends/mlx_continuous_batching.py, mlx_streaming.py) — this completes
+them into something a client can actually call.
+
+Endpoints
+---------
+GET  /healthz                     liveness + model + queue/throughput stats
+POST /v1/audio/transcriptions     body = WAV bytes (any container when
+                                  ffmpeg is present) or raw PCM with
+                                  Content-Type audio/x-raw-pcm and headers
+                                  X-Sample-Rate / X-Format (f32|i16).
+                                  Query: ?language=..&priority=N
+                                  → JSON {segments, language, request_id,
+                                          wall_s}
+POST /v1/stream/start             → {stream_id}; query params configure
+                                  (?language=..&partial_interval=0.5)
+POST /v1/stream/{id}/audio        body = raw PCM chunk (same headers)
+                                  → {results: [...new since last call]}
+POST /v1/stream/{id}/end          → {results, latency: {...}} and closes
+
+Run:  python -m whisperx_tpu.serve --model large-v3 --port 9090
+
+Design notes: one JAX process, one model; HTTP handler threads only queue
+work (ThreadingHTTPServer), the device is driven by the batcher's single
+worker so decode batches stay fixed-shape. Streaming sessions drain
+synchronously inside the audio POST (long-poll style) — robust with any
+HTTP client, no full-duplex assumptions.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import tempfile
+import threading
+import time
+import uuid
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from whisperx_tpu.audio.constants import SAMPLE_RATE
+from whisperx_tpu.serve.batching import BatchConfig, ContinuousBatcher
+from whisperx_tpu.serve.streaming import StreamingConfig, StreamingTranscriber
+
+
+class _BadRequest(ValueError):
+    pass
+
+
+def _decode_body(body: bytes, content_type: str, headers) -> np.ndarray:
+    """Request body → float32 mono 16 kHz samples."""
+    ctype = (content_type or "").split(";")[0].strip().lower()
+    if ctype in ("audio/x-raw-pcm", "application/x-raw-pcm"):
+        fmt = (headers.get("X-Format") or "f32").lower()
+        sr = int(headers.get("X-Sample-Rate") or SAMPLE_RATE)
+        if fmt == "f32":
+            audio = np.frombuffer(body, np.float32)
+        elif fmt == "i16":
+            audio = np.frombuffer(body, np.int16).astype(np.float32) / 32768.0
+        else:
+            raise _BadRequest(f"unknown X-Format {fmt!r} (use f32 or i16)")
+        if sr != SAMPLE_RATE:
+            from whisperx_tpu.audio.io import _resample
+
+            audio = _resample(audio, sr, SAMPLE_RATE)
+        return np.ascontiguousarray(audio, np.float32)
+    # container bytes: try the stdlib WAV fast path, fall back to the full
+    # loader (native decoder / ffmpeg) via a temp file
+    if body[:4] == b"RIFF":
+        try:
+            with wave.open(io.BytesIO(body), "rb") as w:
+                if w.getsampwidth() == 2:
+                    frames = np.frombuffer(
+                        w.readframes(w.getnframes()), np.int16
+                    ).astype(np.float32) / 32768.0
+                    if w.getnchannels() > 1:
+                        frames = frames.reshape(-1, w.getnchannels()).mean(1)
+                    if w.getframerate() != SAMPLE_RATE:
+                        from whisperx_tpu.audio.io import _resample
+
+                        frames = _resample(
+                            frames, w.getframerate(), SAMPLE_RATE
+                        )
+                    return np.ascontiguousarray(frames, np.float32)
+        except wave.Error:
+            pass
+    from whisperx_tpu.audio.io import load_audio
+
+    suffix = ".wav" if body[:4] == b"RIFF" else ".bin"
+    with tempfile.NamedTemporaryFile(suffix=suffix) as f:
+        f.write(body)
+        f.flush()
+        try:
+            return load_audio(f.name)
+        except Exception as e:
+            raise _BadRequest(f"cannot decode audio body: {e}") from e
+
+
+class _StreamSession:
+    def __init__(self, transcriber: StreamingTranscriber):
+        self.transcriber = transcriber
+        self.lock = threading.Lock()
+        self.cursor = 0  # results already delivered
+        self.created = time.monotonic()
+
+    def take_new(self):
+        results = self.transcriber.results
+        new = results[self.cursor:]
+        self.cursor = len(results)
+        return new
+
+
+class TranscriptionServer:
+    """Owns the pipeline, the batcher, and live stream sessions."""
+
+    def __init__(
+        self,
+        pipeline,
+        model_name: str = "",
+        batch_config: Optional[BatchConfig] = None,
+    ):
+        self.pipeline = pipeline
+        self.model_name = model_name
+        self.batcher = ContinuousBatcher(pipeline, batch_config)
+        self.streams: dict[str, _StreamSession] = {}
+        self._streams_lock = threading.Lock()
+        self.started_at = time.time()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # -- request handling ----------------------------------------------------
+
+    def transcribe(self, audio: np.ndarray, priority: int = 10, timeout=600.0):
+        t0 = time.monotonic()
+        result = dict(
+            self.batcher.transcribe(audio, timeout=timeout) or {}
+        )
+        result["wall_s"] = round(time.monotonic() - t0, 3)
+        return result
+
+    def open_stream(self, partial_interval=None) -> str:
+        # language follows the server pipeline's language (pinned at start
+        # or auto-detected per chunk) — per-stream overrides would recompile
+        cfg = StreamingConfig()
+        if partial_interval:
+            cfg.partial_interval_seconds = float(partial_interval)
+        tr = StreamingTranscriber(self.pipeline, cfg)
+        sid = uuid.uuid4().hex[:12]
+        with self._streams_lock:
+            self.streams[sid] = _StreamSession(tr)
+        return sid
+
+    def stream(self, sid: str) -> _StreamSession:
+        with self._streams_lock:
+            sess = self.streams.get(sid)
+        if sess is None:
+            raise KeyError(sid)
+        return sess
+
+    def close_stream(self, sid: str):
+        sess = self.stream(sid)
+        with sess.lock:
+            final = sess.transcriber.stop()
+            new = sess.take_new()
+            stats = sess.transcriber.latency_stats()
+        with self._streams_lock:
+            self.streams.pop(sid, None)
+        return new, final, stats
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "model": self.model_name,
+            "uptime_s": round(time.time() - self.started_at, 1),
+            "queue_depth": len(self.batcher.queue),
+            "active_streams": len(self.streams),
+            "stats": dict(self.batcher.stats),
+            "throughput_rtf": round(self.batcher.throughput_rtf, 2),
+        }
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def serve_forever(self, host: str = "127.0.0.1", port: int = 9090):
+        self.batcher.start()
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self.batcher.stop()
+
+    def start_background(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        """Start in a daemon thread; returns the bound port (for tests)."""
+        self.batcher.start()
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        ).start()
+        return self._httpd.server_address[1]
+
+    def shutdown(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd = None
+        self.batcher.stop()
+
+
+_STREAM_RE = re.compile(r"^/v1/stream/([0-9a-f]+)/(audio|end)$")
+
+
+def _make_handler(app: TranscriptionServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # -- helpers --
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length") or 0)
+            return self.rfile.read(n) if n else b""
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        # -- routes --
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._json(200, app.health())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                if url.path == "/v1/audio/transcriptions":
+                    audio = _decode_body(
+                        self._body(), self.headers.get("Content-Type"),
+                        self.headers,
+                    )
+                    if len(audio) == 0:
+                        raise _BadRequest("empty audio body")
+                    result = app.transcribe(
+                        audio, priority=int(q.get("priority", 10))
+                    )
+                    result["request_id"] = uuid.uuid4().hex[:12]
+                    self._json(200, result)
+                elif url.path == "/v1/stream/start":
+                    sid = app.open_stream(
+                        partial_interval=q.get("partial_interval"),
+                    )
+                    self._json(200, {"stream_id": sid})
+                elif m := _STREAM_RE.match(url.path):
+                    sid, action = m.group(1), m.group(2)
+                    sess = app.stream(sid)
+                    if action == "audio":
+                        audio = _decode_body(
+                            self._body(),
+                            self.headers.get("Content-Type")
+                            or "audio/x-raw-pcm",
+                            self.headers,
+                        )
+                        with sess.lock:
+                            sess.transcriber.feed(audio)
+                            # synchronous drain: decode whatever flushed,
+                            # return partials in this response (long-poll)
+                            sess.transcriber.process_available()
+                            new = sess.take_new()
+                        self._json(200, {"results": new})
+                    else:  # end
+                        new, final, stats = app.close_stream(sid)
+                        self._json(
+                            200,
+                            {"results": new, "all_results": final,
+                             "latency": stats},
+                        )
+                else:
+                    self._json(404, {"error": "not found"})
+            except _BadRequest as e:
+                self._json(400, {"error": str(e)})
+            except KeyError:
+                self._json(404, {"error": "unknown stream"})
+            except Exception as e:  # pragma: no cover - defensive
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler

@@ -371,10 +371,10 @@ class StreamingTranscriber:
     def _emit(self, chunk: np.ndarray, final: bool) -> None:
         kwargs = {}
         if self.config.condition_on_previous_text and self._prev_text:
+            # previous committed text conditions the next chunk's decode
+            # (reference mlx_streaming.py prev-text via initial_prompt)
             kwargs = {"initial_prompt": self._prev_text[-200:]}
-        result = self.pipeline.transcribe(chunk, **kwargs) if not kwargs else (
-            self.pipeline.transcribe(chunk)
-        )
+        result = self.pipeline.transcribe(chunk, **kwargs)
         self._consumed += len(chunk)
         t_fed = self._feed_time_for(self._consumed)
         text = " ".join(s["text"].strip() for s in result["segments"]).strip()
