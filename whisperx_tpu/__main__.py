@@ -105,9 +105,10 @@ def _pin_platform(device: str) -> None:
     """
     import os
 
-    # default device=tpu → leave JAX's own platform selection alone (the
-    # accelerator platform may be named differently, e.g. a tunneled chip)
-    want = os.environ.get("JAX_PLATFORMS") or ("cpu" if device == "cpu" else None)
+    # precedence: explicit --device cpu > ambient JAX_PLATFORMS (the host
+    # may export its accelerator platform, e.g. a tunneled chip, globally).
+    # default device=tpu → honor the env var / JAX's own platform selection.
+    want = "cpu" if device == "cpu" else os.environ.get("JAX_PLATFORMS")
     if want:
         import jax
 
