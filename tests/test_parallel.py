@@ -158,3 +158,40 @@ def test_data_parallel_transcribe_matches_single_device():
     )
     assert result["segments"] == ref["segments"]
     assert getattr(dp_model, "_dp_mesh", None) is mesh  # params placed once
+
+
+def test_data_parallel_pipeline_proxy():
+    """DataParallelPipeline: the drop-in proxy the serving layer wraps —
+    transcribe and transcribe_many run sharded and match single-device."""
+    import copy
+
+    from tests.conftest import synth_speech
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.parallel import DataParallelPipeline
+    from whisperx_tpu.vad import load_vad_model
+
+    model = _f32_nano()
+    audio = synth_speech(20.0, seed=9)
+
+    def make_pipe(m):
+        return TranscriptionPipeline(
+            model=m,
+            vad_model=load_vad_model("energy"),
+            asr_options={"temperatures": (0.0,), "sample_len": 10},
+            language="en",
+            batch_size=4,
+        )
+
+    ref = make_pipe(model).transcribe(audio)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    dp = DataParallelPipeline(make_pipe(copy.copy(model)), mesh=mesh)
+    assert dp.language == "en"  # attribute delegation
+    result = dp.transcribe(audio)
+    assert result["segments"] == ref["segments"]
+
+    # transcribe_many: batch rounded to the data axis, results demuxed
+    many = dp.transcribe_many([audio, audio], batch_size=3)  # rounds to 4
+    assert len(many) == 2
+    for r in many:
+        assert r["segments"] == ref["segments"]

@@ -1,4 +1,5 @@
 from whisperx_tpu.parallel.data_parallel import (
+    DataParallelPipeline,
     data_parallel_transcribe,
     maybe_data_parallel,
 )
@@ -12,6 +13,7 @@ from whisperx_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "DataParallelPipeline",
     "data_parallel_transcribe",
     "get_mesh",
     "make_mesh",

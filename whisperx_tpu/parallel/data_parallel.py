@@ -63,3 +63,43 @@ def data_parallel_transcribe(
 def maybe_data_parallel(pipeline):
     """True when >1 addressable device makes the DP path worthwhile."""
     return len(jax.devices()) > 1
+
+
+class DataParallelPipeline:
+    """Drop-in pipeline proxy that runs every decode on the mesh.
+
+    Wraps a ``TranscriptionPipeline`` so callers that only know the
+    pipeline protocol (the CLI, ``serve.ContinuousBatcher``,
+    ``serve.StreamingTranscriber``) transparently get batches sharded
+    over the ``data`` axis (and the model tensor-parallel over ``model``
+    when ``n_model > 1``). Parameters are placed on the mesh once, on
+    construction; batch sizes are rounded up to a multiple of the data
+    axis so every device batch shards evenly.
+    """
+
+    def __init__(self, pipeline, mesh=None, n_model: int = 1):
+        self.pipeline = pipeline
+        self.mesh = mesh if mesh is not None else make_mesh(n_model=n_model)
+        self._n_data = self.mesh.shape[DATA_AXIS]
+        pipeline.model.params = shard_params_tp(pipeline.model.params, self.mesh)
+        pipeline.model._dp_mesh = self.mesh
+
+    def _round(self, batch_size: Optional[int]) -> int:
+        bs = batch_size or self.pipeline.batch_size
+        return -(-bs // self._n_data) * self._n_data
+
+    def transcribe(self, audio, batch_size: Optional[int] = None, **kwargs):
+        with use_mesh(self.mesh):
+            return self.pipeline.transcribe(
+                audio, batch_size=self._round(batch_size), **kwargs
+            )
+
+    def transcribe_many(self, audios, batch_size: Optional[int] = None, **kwargs):
+        with use_mesh(self.mesh):
+            return self.pipeline.transcribe_many(
+                audios, batch_size=self._round(batch_size), **kwargs
+            )
+
+    def __getattr__(self, name):
+        # model / language / task / detect_language / model_prompt / ...
+        return getattr(self.pipeline, name)

@@ -25,6 +25,8 @@ def main():
     parser.add_argument("--batch_size", type=int, default=16, help="device decode batch size")
     parser.add_argument("--max_batch_size", type=int, default=8, help="max requests coalesced per serving batch")
     parser.add_argument("--max_wait_ms", type=float, default=100.0, help="max time to wait for batch stragglers")
+    parser.add_argument("--data_parallel", type=str, default="auto", choices=["auto", "on", "off"], help="shard decode batches over all local devices (auto: when >1 device)")
+    parser.add_argument("--n_model", type=int, default=1, help="tensor-parallel width within the device mesh (data axis = n_devices / n_model)")
     args = parser.parse_args()
 
     from whisperx_tpu.__main__ import _pin_platform
@@ -44,6 +46,20 @@ def main():
         task=args.task,
         batch_size=args.batch_size,
     )
+    import jax
+
+    n_dev = len(jax.devices())
+    if args.data_parallel == "on" or (
+        args.data_parallel == "auto" and n_dev > 1
+    ):
+        from whisperx_tpu.parallel import DataParallelPipeline
+
+        pipeline = DataParallelPipeline(pipeline, n_model=args.n_model)
+        print(
+            f"data-parallel serving over {n_dev} devices "
+            f"(data={n_dev // args.n_model} x model={args.n_model})"
+        )
+
     server = TranscriptionServer(
         pipeline,
         model_name=args.model,
