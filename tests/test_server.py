@@ -76,6 +76,19 @@ def test_healthz(server):
     assert "queue_depth" in payload and "stats" in payload
 
 
+def test_metrics_endpoint(server):
+    srv, base = server
+    # generate one request so batcher counters move
+    _post(base + "/v1/audio/transcriptions", _wav_bytes(synth_speech(1.0)),
+          {"Content-Type": "audio/wav"})
+    with urllib.request.urlopen(base + "/metrics", timeout=10) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert "whisperx_queue_depth" in text
+    assert "whisperx_requests 1" in text
+    assert "whisperx_throughput_rtf" in text
+
+
 def test_transcription_wav_roundtrip(server):
     srv, base = server
     audio = synth_speech(2.0)

@@ -25,6 +25,7 @@ def main():
     parser.add_argument("--batch_size", type=int, default=16, help="device decode batch size")
     parser.add_argument("--max_batch_size", type=int, default=8, help="max requests coalesced per serving batch")
     parser.add_argument("--max_wait_ms", type=float, default=100.0, help="max time to wait for batch stragglers")
+    parser.add_argument("--word_timestamps", action="store_true", help="attach cross-attention DTW word timings to every segment")
     parser.add_argument("--data_parallel", type=str, default="auto", choices=["auto", "on", "off"], help="shard decode batches over all local devices (auto: when >1 device)")
     parser.add_argument("--n_model", type=int, default=1, help="tensor-parallel width within the device mesh (data axis = n_devices / n_model)")
     args = parser.parse_args()
@@ -45,6 +46,9 @@ def main():
         vad_method=args.vad_method,
         task=args.task,
         batch_size=args.batch_size,
+        asr_options=(
+            {"word_timestamps": True} if args.word_timestamps else None
+        ),
     )
     import jax
 

@@ -187,6 +187,33 @@ class TranscriptionServer:
             "throughput_rtf": round(self.batcher.throughput_rtf, 2),
         }
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition: batcher gauges/counters + the
+        per-stage pipeline tracker (upload/vad/mel/dispatch/decode/...)."""
+        from whisperx_tpu.utils.metrics import GLOBAL_TRACKER
+
+        lines = [
+            "# TYPE whisperx_uptime_seconds gauge",
+            f"whisperx_uptime_seconds {time.time() - self.started_at:.1f}",
+            "# TYPE whisperx_queue_depth gauge",
+            f"whisperx_queue_depth {len(self.batcher.queue)}",
+            "# TYPE whisperx_active_streams gauge",
+            f"whisperx_active_streams {len(self.streams)}",
+            "# TYPE whisperx_throughput_rtf gauge",
+            f"whisperx_throughput_rtf {self.batcher.throughput_rtf:.3f}",
+        ]
+        for key, val in self.batcher.stats.items():
+            lines.append(f"# TYPE whisperx_{key} counter")
+            lines.append(f"whisperx_{key} {val}")
+        for stage, s in GLOBAL_TRACKER.report().items():
+            tag = f'{{stage="{stage}"}}'
+            lines.append(f"whisperx_stage_calls{tag} {s['calls']}")
+            lines.append(f"whisperx_stage_seconds_total{tag} {s['total_s']}")
+            lines.append(f"whisperx_stage_audio_seconds_total{tag} {s['audio_s']}")
+        for counter, val in GLOBAL_TRACKER.counters.items():
+            lines.append(f'whisperx_counter{{name="{counter}"}} {val}')
+        return "\n".join(lines) + "\n"
+
     # -- lifecycle -------------------------------------------------------------
 
     def serve_forever(self, host: str = "127.0.0.1", port: int = 9090):
@@ -240,8 +267,18 @@ def _make_handler(app: TranscriptionServer):
 
         # -- routes --
         def do_GET(self):
-            if urlparse(self.path).path == "/healthz":
+            path = urlparse(self.path).path
+            if path == "/healthz":
                 self._json(200, app.health())
+            elif path == "/metrics":
+                body = app.metrics_text().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 
