@@ -27,6 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model_cache_only", type=str2bool, default=False, help="If True, never download; use cached/converted models from --model_dir only")
     parser.add_argument("--model_dir", type=str, default=None, help="directory holding converted model checkpoints")
     parser.add_argument("--device", default="tpu", help="accelerator to use (tpu; cpu works for testing)")
+    parser.add_argument("--data_parallel", default="auto", choices=["auto", "on", "off"], help="shard decode batches over all local devices (auto: when >1 device is visible)")
     parser.add_argument("--device_index", default=0, type=int, help="device index")
     parser.add_argument("--batch_size", default=8, type=int, help="the preferred batch size for inference")
     parser.add_argument("--compute_type", default="bfloat16", type=str, choices=["float16", "bfloat16", "float32", "int8", "int4"], help="compute type for computation")

@@ -138,6 +138,18 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
         batch_size=batch_size,
     )
 
+    data_parallel: str = args.pop("data_parallel", "auto")
+    if data_parallel != "off":
+        import jax
+
+        n_dev = len(jax.devices())
+        if data_parallel == "on" or n_dev > 1:
+            from whisperx_tpu.parallel import DataParallelPipeline
+
+            model = DataParallelPipeline(model)
+            if verbose:
+                print(f">>Data-parallel decode over {n_dev} devices")
+
     results = []
     audio_cache = {}
     for audio_path in args.pop("audio"):
