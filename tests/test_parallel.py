@@ -195,3 +195,22 @@ def test_data_parallel_pipeline_proxy():
     assert len(many) == 2
     for r in many:
         assert r["segments"] == ref["segments"]
+
+
+def test_shard_files_strided_and_covering():
+    from whisperx_tpu.parallel import shard_files
+
+    paths = [f"f{i}.wav" for i in range(10)]
+    slices = [shard_files(paths, process_id=p, n_processes=4) for p in range(4)]
+    # disjoint, covering, strided
+    flat = sorted(sum(slices, []))
+    assert flat == sorted(paths)
+    assert slices[0] == ["f0.wav", "f4.wav", "f8.wav"]
+    assert slices[3] == ["f3.wav", "f7.wav"]
+
+
+def test_initialize_multihost_single_process_noop():
+    from whisperx_tpu.parallel import initialize_multihost
+
+    pid, n = initialize_multihost()
+    assert (pid, n) == (0, 1)

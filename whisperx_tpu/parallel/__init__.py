@@ -3,6 +3,7 @@ from whisperx_tpu.parallel.data_parallel import (
     data_parallel_transcribe,
     maybe_data_parallel,
 )
+from whisperx_tpu.parallel.multihost import initialize_multihost, shard_files
 from whisperx_tpu.parallel.sharding import (
     get_mesh,
     make_mesh,
@@ -15,6 +16,8 @@ from whisperx_tpu.parallel.sharding import (
 __all__ = [
     "DataParallelPipeline",
     "data_parallel_transcribe",
+    "initialize_multihost",
+    "shard_files",
     "get_mesh",
     "make_mesh",
     "maybe_data_parallel",

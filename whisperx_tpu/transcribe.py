@@ -150,9 +150,27 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
             if verbose:
                 print(f">>Data-parallel decode over {n_dev} devices")
 
+    audio_paths = args.pop("audio")
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-host: whole files shard over DCN (parallel/multihost.py);
+            # each host transcribes + writes its own slice with its local mesh
+            from whisperx_tpu.parallel import shard_files
+
+            total = len(audio_paths)
+            audio_paths = shard_files(audio_paths)
+            print(
+                f">>Host {jax.process_index()}/{jax.process_count()}: "
+                f"{len(audio_paths)} of {total} files"
+            )
+    except Exception:
+        pass
+
     results = []
     audio_cache = {}
-    for audio_path in args.pop("audio"):
+    for audio_path in audio_paths:
         audio = load_audio(audio_path)
         audio_cache[audio_path] = audio
         print(">>Performing transcription...")
