@@ -4,6 +4,7 @@ import threading
 import time
 
 import numpy as np
+import pytest
 
 from whisperx_tpu.serve import (
     AudioRingBuffer,
@@ -303,6 +304,76 @@ def test_transcribe_many_per_request_language(nano_model, monkeypatch):
     assert results[1]["language"] == "en"
     assert "bonjour" in results[0]["segments"][0]["text"]
     assert "hello" in results[1]["segments"][0]["text"]
+
+
+def test_transcribe_many_explicit_per_request_options(nano_model, monkeypatch):
+    """Explicit per-request language/task LISTS: decode groups by
+    (language, task) and no detection runs for explicit entries."""
+    import whisperx_tpu.asr as asr_mod
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.decoding import get_tokenizer as _gt
+    from whisperx_tpu.decoding.decode import DecodingResult
+    from whisperx_tpu.vad.types import SpeechSegment
+
+    _tok = _gt(True, language="en")
+    groups_used = []
+
+    def fake_dispatch(model, mel, opts, **kw):
+        groups_used.append((opts.language, opts.task))
+        return {
+            "done": [
+                DecodingResult(
+                    audio_features=None, language=opts.language,
+                    tokens=list(_tok.encode(" x")), text="x",
+                    avg_logprob=-0.1, no_speech_prob=0.0,
+                    temperature=0.0, compression_ratio=1.0,
+                )
+                for _ in range(mel.shape[0])
+            ]
+        }
+
+    monkeypatch.setattr(asr_mod, "decode_dispatch", fake_dispatch)
+
+    def boom(self, a):  # detection must not run for explicit languages
+        raise AssertionError("detect_language called")
+
+    monkeypatch.setattr(TranscriptionPipeline, "detect_language", boom)
+
+    class StubVAD:
+        vad_onset = 0.5
+        vad_offset = 0.363
+
+        def __call__(self, inp, max_speech_duration_s=30):
+            dur = len(inp["waveform"]) / inp["sample_rate"]
+            return [SpeechSegment(start=0.5, end=min(6.0, dur))]
+
+    pipe = TranscriptionPipeline(
+        model=nano_model,
+        vad_model=StubVAD(),
+        asr_options={
+            "temperatures": (0.0,),
+            "no_speech_threshold": None,
+            "log_prob_threshold": None,
+            "compression_ratio_threshold": None,
+            "without_timestamps": True,
+        },
+        language=None,
+        batch_size=8,
+    )
+    audios = [np.zeros(16000 * 7, np.float32) for _ in range(3)]
+    results = pipe.transcribe_many(
+        audios,
+        language=["fr", "en", "fr"],
+        task=["transcribe", "transcribe", "translate"],
+    )
+    # three distinct (language, task) groups → three decode calls
+    assert sorted(groups_used) == [
+        ("en", "transcribe"), ("fr", "transcribe"), ("fr", "translate")
+    ]
+    assert [r["language"] for r in results] == ["fr", "en", "fr"]
+    # length-mismatched list raises
+    with pytest.raises(ValueError):
+        pipe.transcribe_many(audios, language=["fr"])
 
 
 def test_streaming_partials_arrive_before_stream_end(nano_model):

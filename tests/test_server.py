@@ -35,7 +35,7 @@ class FakePipeline:
             "segments": [
                 {"start": 0.0, "end": len(audio) / 16000, "text": "ok"}
             ],
-            "language": "en",
+            "language": kw.get("language") or "en",
         }
 
 
@@ -117,6 +117,21 @@ def test_transcription_raw_pcm_f32_and_i16(server):
         )
         assert status == 200
         assert abs(payload["segments"][0]["end"] - 1.0) < 0.05
+
+
+def test_per_request_language_and_task_params(server):
+    """?language= and ?task= query params ride through the batcher to the
+    pipeline per request."""
+    srv, base = server
+    status, payload = _post(
+        base + "/v1/audio/transcriptions?language=fr&task=translate",
+        _wav_bytes(synth_speech(1.0)), {"Content-Type": "audio/wav"},
+    )
+    assert status == 200
+    assert payload["language"] == "fr"
+    pipe = srv.pipeline
+    assert pipe.calls[-1][1].get("language") == "fr"
+    assert pipe.calls[-1][1].get("task") == "translate"
 
 
 def test_resampled_wav_body(server):

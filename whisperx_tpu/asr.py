@@ -268,8 +268,8 @@ class TranscriptionPipeline:
         *,
         batch_size: Optional[int] = None,
         chunk_size: float = 30,
-        language: Optional[str] = None,
-        task: Optional[str] = None,
+        language: Optional[Union[str, List[Optional[str]]]] = None,
+        task: Optional[Union[str, List[Optional[str]]]] = None,
     ) -> List[TranscriptionResult]:
         """Cross-request coalescing: VAD every audio, pool ALL requests'
         chunks into one shared decode stream (chunks from different
@@ -277,13 +277,31 @@ class TranscriptionPipeline:
         request. This is what makes the serving layer a serving layer —
         the reference batches across requests too
         (mlx_continuous_batching.py:229-304), but loops the actual decode.
+
+        ``language`` / ``task`` may be a single value for all requests or a
+        per-request list (None entries auto-detect / default); requests are
+        grouped by (language, task) and each group shares device batches.
         """
         import bisect
         import math
 
+        n_req = len(audios)
+
+        def _per_request(opt, default):
+            if isinstance(opt, (list, tuple)):
+                if len(opt) != n_req:
+                    raise ValueError(
+                        f"per-request option length {len(opt)} != {n_req} requests"
+                    )
+                return [v if v is not None else default for v in opt]
+            return [opt if opt is not None else default] * n_req
+
         batch_size = batch_size or self.batch_size
-        task = task or self.task
-        language = normalize_language(language or self.language)
+        req_tasks = _per_request(task, self.task)
+        req_langs = [
+            normalize_language(lg)
+            for lg in _per_request(language, self.language)
+        ]
         audios = [np.asarray(a, np.float32) for a in audios]
         if not audios:
             return []
@@ -294,10 +312,10 @@ class TranscriptionPipeline:
                     a,
                     batch_size=batch_size,
                     chunk_size=chunk_size,
-                    language=language,
-                    task=task,
+                    language=lg,
+                    task=tk,
                 )
-                for a in audios
+                for a, lg, tk in zip(audios, req_langs, req_tasks)
             ]
 
         from whisperx_tpu.utils.metrics import GLOBAL_TRACKER as _tracker
@@ -306,14 +324,15 @@ class TranscriptionPipeline:
         with _tracker.track("vad", sum(len(a) for a in audios) / SAMPLE_RATE):
             per_chunks = [self._segment_with_vad(d, chunk_size) for d in devs]
 
-        # Per-request language: detected independently for each request
-        # (a French and an English caller sharing the batcher each keep
-        # their own language); same-language requests then share device
+        # Per-request language: explicit value if the caller gave one,
+        # otherwise detected independently for each request (a French and
+        # an English caller sharing the batcher each keep their own
+        # language); same-(language, task) requests then share device
         # batches within their group.
         langs: List[str] = []
-        for a, chs in zip(audios, per_chunks):
-            if language is not None:
-                langs.append(language)
+        for a, chs, lg in zip(audios, per_chunks, req_langs):
+            if lg is not None:
+                langs.append(lg)
             elif not chs or not self.model.is_multilingual:
                 langs.append("en")
             else:
@@ -338,9 +357,9 @@ class TranscriptionPipeline:
         groups: dict = {}
         for r, lg in enumerate(langs):
             if per_chunks[r]:
-                groups.setdefault(lg, []).append(r)
+                groups.setdefault((lg, req_tasks[r]), []).append(r)
 
-        for lg, req_idxs in groups.items():
+        for (lg, tk), req_idxs in groups.items():
             pooled: List[dict] = []
             mel_parts = []
             group_bases = [bases[r] for r in req_idxs]
@@ -360,7 +379,7 @@ class TranscriptionPipeline:
                 else mel_parts[0]
             )
             segments = self._transcribe_chunks(
-                None, pooled, batch_size=batch_size, language=lg, task=task, mels=mels
+                None, pooled, batch_size=batch_size, language=lg, task=tk, mels=mels
             )
             for seg in segments:
                 g = bisect.bisect_right(group_bases, seg["start"] + 1e-6) - 1

@@ -30,6 +30,9 @@ class TranscriptionRequest:
     callback: Optional[Callable] = field(compare=False, default=None)
     result: Any = field(compare=False, default=None)
     done: threading.Event = field(compare=False, default_factory=threading.Event)
+    # per-request decode options (language/task); None = pipeline default
+    language: Optional[str] = field(compare=False, default=None)
+    task: Optional[str] = field(compare=False, default=None)
 
 
 @dataclass
@@ -150,6 +153,8 @@ class ContinuousBatcher:
         priority: int = 10,
         request_id: str = "",
         callback: Optional[Callable] = None,
+        language: Optional[str] = None,
+        task: Optional[str] = None,
     ) -> TranscriptionRequest:
         req = TranscriptionRequest(
             priority=priority,
@@ -158,12 +163,15 @@ class ContinuousBatcher:
             request_id=request_id,
             submitted_at=time.monotonic(),
             callback=callback,
+            language=language,
+            task=task,
         )
         self.queue.put(req)
         return req
 
-    def transcribe(self, audio: np.ndarray, timeout: Optional[float] = None):
-        req = self.submit(audio)
+    def transcribe(self, audio: np.ndarray, timeout: Optional[float] = None,
+                   language: Optional[str] = None, task: Optional[str] = None):
+        req = self.submit(audio, language=language, task=task)
         if self._worker is None:
             self._drain_once()
         if not req.done.wait(timeout):
@@ -201,15 +209,19 @@ class ContinuousBatcher:
             t0 = time.monotonic()
             if hasattr(self.pipeline, "transcribe_many"):
                 # cross-request coalescing: one pooled chunk stream fills
-                # shared device batches, results demuxed per request
+                # shared device batches, results demuxed per request;
+                # per-request language/task ride along as lists
                 results = self.pipeline.transcribe_many(
                     [r.audio for r in reqs],
                     batch_size=self.config.max_batch_size,
+                    language=[r.language for r in reqs],
+                    task=[r.task for r in reqs],
                 )
             else:
                 results = [
                     self.pipeline.transcribe(
-                        r.audio, batch_size=self.config.max_batch_size
+                        r.audio, batch_size=self.config.max_batch_size,
+                        language=r.language, task=r.task,
                     )
                     for r in reqs
                 ]

@@ -139,11 +139,17 @@ class TranscriptionServer:
 
     # -- request handling ----------------------------------------------------
 
-    def transcribe(self, audio: np.ndarray, priority: int = 10, timeout=600.0):
+    def transcribe(self, audio: np.ndarray, priority: int = 10, timeout=600.0,
+                   language: Optional[str] = None, task: Optional[str] = None):
         t0 = time.monotonic()
-        result = dict(
-            self.batcher.transcribe(audio, timeout=timeout) or {}
+        req = self.batcher.submit(
+            audio, priority=priority, language=language, task=task
         )
+        if self.batcher._worker is None:
+            self.batcher._drain_once()
+        if not req.done.wait(timeout):
+            raise TimeoutError("transcription request timed out")
+        result = dict(req.result or {})
         result["wall_s"] = round(time.monotonic() - t0, 3)
         return result
 
@@ -294,7 +300,10 @@ def _make_handler(app: TranscriptionServer):
                     if len(audio) == 0:
                         raise _BadRequest("empty audio body")
                     result = app.transcribe(
-                        audio, priority=int(q.get("priority", 10))
+                        audio,
+                        priority=int(q.get("priority", 10)),
+                        language=q.get("language"),
+                        task=q.get("task"),
                     )
                     result["request_id"] = uuid.uuid4().hex[:12]
                     self._json(200, result)
