@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--max_batch_size", type=int, default=8, help="max requests coalesced per serving batch")
     parser.add_argument("--max_wait_ms", type=float, default=100.0, help="max time to wait for batch stragglers")
     parser.add_argument("--word_timestamps", action="store_true", help="attach cross-attention DTW word timings to every segment")
+    parser.add_argument("--draft_model", type=str, default=None, help="enable speculative decoding: draft checkpoint/name or 'self:N'")
+    parser.add_argument("--spec_gamma", type=int, default=4, help="speculative draft length per verify step")
     parser.add_argument("--data_parallel", type=str, default="auto", choices=["auto", "on", "off"], help="shard decode batches over all local devices (auto: when >1 device)")
     parser.add_argument("--n_model", type=int, default=1, help="tensor-parallel width within the device mesh (data axis = n_devices / n_model)")
     args = parser.parse_args()
@@ -46,9 +48,15 @@ def main():
         vad_method=args.vad_method,
         task=args.task,
         batch_size=args.batch_size,
-        asr_options=(
-            {"word_timestamps": True} if args.word_timestamps else None
-        ),
+        asr_options={
+            **({"word_timestamps": True} if args.word_timestamps else {}),
+            **(
+                {"draft_model": args.draft_model, "spec_gamma": args.spec_gamma}
+                if args.draft_model
+                else {}
+            ),
+        }
+        or None,
     )
     import jax
 
@@ -71,6 +79,14 @@ def main():
             max_batch_size=args.max_batch_size, max_wait_ms=args.max_wait_ms
         ),
     )
+    import signal
+    import threading
+
+    def _term(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
+
     print(f"whisperx-tpu serving {args.model} on http://{args.host}:{args.port}")
     try:
         server.serve_forever(args.host, args.port)
