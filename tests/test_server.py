@@ -170,6 +170,101 @@ def test_error_routes(server):
     assert e.value.code == 404
 
 
+def test_bad_params_return_400_and_worker_survives(server):
+    """Unvalidated client input must never kill the batcher worker: bad
+    language/task/priority/partial_interval → 400, and the endpoint still
+    serves afterwards (regression: ?language=klingon used to crash the
+    worker thread and hang every later request)."""
+    srv, base = server
+    wav = _wav_bytes(synth_speech(1.0))
+    for qs in ("?language=klingon", "?task=summarize", "?priority=high"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/v1/audio/transcriptions" + qs, wav,
+                  {"Content-Type": "audio/wav"})
+        assert e.value.code == 400, qs
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/v1/stream/start?partial_interval=abc", b"")
+    assert e.value.code == 400
+    # odd-length raw PCM is a client error, not a 500
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/v1/audio/transcriptions", b"\x00" * 7,
+              {"Content-Type": "audio/x-raw-pcm", "X-Format": "f32"})
+    assert e.value.code == 400
+    # endpoint still alive and serving
+    status, payload = _post(base + "/v1/audio/transcriptions", wav,
+                            {"Content-Type": "audio/wav"})
+    assert status == 200 and payload["segments"]
+
+
+def test_pipeline_exception_fails_batch_not_worker():
+    """A pipeline error fails that request with a 500-surfaced error but
+    the worker thread keeps draining subsequent requests."""
+    class FlakyPipeline(FakePipeline):
+        def transcribe(self, audio, batch_size=8, **kw):
+            if len(audio) == 160:  # poison marker
+                raise RuntimeError("decode exploded")
+            return super().transcribe(audio, batch_size=batch_size, **kw)
+
+    srv = TranscriptionServer(FlakyPipeline(), model_name="flaky",
+                              batch_config=BatchConfig(max_wait_ms=5))
+    port = srv.start_background(port=0)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/v1/audio/transcriptions",
+                  np.zeros(160, np.float32).tobytes(),
+                  {"Content-Type": "audio/x-raw-pcm", "X-Format": "f32"})
+        assert e.value.code == 500
+        assert "decode exploded" in json.loads(e.value.read())["error"]
+        status, payload = _post(
+            base + "/v1/audio/transcriptions", _wav_bytes(synth_speech(1.0)),
+            {"Content-Type": "audio/wav"})
+        assert status == 200 and payload["segments"]
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as resp:
+            assert json.loads(resp.read())["stats"].get("errors") == 1
+    finally:
+        srv.shutdown()
+
+
+def test_stream_ttl_reaps_abandoned_sessions():
+    srv = TranscriptionServer(FakePipeline(), stream_ttl_s=0.2)
+    port = srv.start_background(port=0)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _, p1 = _post(base + "/v1/stream/start", b"")
+        import time as _t
+
+        _t.sleep(0.4)
+        _, p2 = _post(base + "/v1/stream/start", b"")  # triggers the reap
+        assert p1["stream_id"] != p2["stream_id"]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + f"/v1/stream/{p1['stream_id']}/end", b"")
+        assert e.value.code == 404  # reaped
+        status, _ = _post(base + f"/v1/stream/{p2['stream_id']}/end", b"")
+        assert status == 200  # fresh one unaffected
+    finally:
+        srv.shutdown()
+
+
+def test_stream_language_override(server):
+    """?language= on /v1/stream/start pins the language of every chunk
+    decode in that session."""
+    srv, base = server
+    _, payload = _post(base + "/v1/stream/start?language=fr", b"")
+    sid = payload["stream_id"]
+    body = np.concatenate(
+        [synth_speech(2.0), np.zeros(16000, np.float32)]
+    ).tobytes()
+    _post(base + f"/v1/stream/{sid}/audio", body,
+          {"Content-Type": "audio/x-raw-pcm", "X-Format": "f32"})
+    _post(base + f"/v1/stream/{sid}/end", b"")
+    pipe = srv.pipeline
+    stream_calls = [kw for _, kw in pipe.calls if "language" in kw]
+    assert stream_calls and all(
+        kw["language"] == "fr" for kw in stream_calls
+    )
+
+
 def test_stream_session_lifecycle(server):
     srv, base = server
     status, payload = _post(base + "/v1/stream/start", b"")

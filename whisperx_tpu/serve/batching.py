@@ -207,24 +207,36 @@ class ContinuousBatcher:
         buckets = bucket_requests(batch, self.config.bucket_boundaries)
         for reqs in buckets.values():
             t0 = time.monotonic()
-            if hasattr(self.pipeline, "transcribe_many"):
-                # cross-request coalescing: one pooled chunk stream fills
-                # shared device batches, results demuxed per request;
-                # per-request language/task ride along as lists
-                results = self.pipeline.transcribe_many(
-                    [r.audio for r in reqs],
-                    batch_size=self.config.max_batch_size,
-                    language=[r.language for r in reqs],
-                    task=[r.task for r in reqs],
-                )
-            else:
-                results = [
-                    self.pipeline.transcribe(
-                        r.audio, batch_size=self.config.max_batch_size,
-                        language=r.language, task=r.task,
+            try:
+                # NOTE: the DEVICE decode batch size is the pipeline's own
+                # batch_size; max_batch_size only caps how many REQUESTS
+                # coalesce per serving batch — don't conflate them here.
+                if hasattr(self.pipeline, "transcribe_many"):
+                    # cross-request coalescing: one pooled chunk stream
+                    # fills shared device batches, results demuxed per
+                    # request; per-request language/task ride along
+                    results = self.pipeline.transcribe_many(
+                        [r.audio for r in reqs],
+                        language=[r.language for r in reqs],
+                        task=[r.task for r in reqs],
                     )
-                    for r in reqs
-                ]
+                else:
+                    results = [
+                        self.pipeline.transcribe(
+                            r.audio, language=r.language, task=r.task
+                        )
+                        for r in reqs
+                    ]
+            except Exception as e:
+                # fail the batch's requests, never the worker thread: a bad
+                # request (or transient decode error) must not hang every
+                # later caller behind a dead worker
+                err = {"error": f"{type(e).__name__}: {e}"}
+                for req in reqs:
+                    req.result = err
+                    req.done.set()
+                self.stats["errors"] = self.stats.get("errors", 0) + len(reqs)
+                continue
             for req, result in zip(reqs, results):
                 req.result = result
                 req.done.set()

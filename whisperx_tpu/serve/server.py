@@ -18,7 +18,10 @@ POST /v1/audio/transcriptions     body = WAV bytes (any container when
                                   → JSON {segments, language, request_id,
                                           wall_s}
 POST /v1/stream/start             → {stream_id}; query params configure
-                                  (?language=..&partial_interval=0.5)
+                                  (?language=fr per-stream override,
+                                  ?partial_interval=0.5 for provisional
+                                  partials); idle sessions reaped after
+                                  stream_ttl_s
 POST /v1/stream/{id}/audio        body = raw PCM chunk (same headers)
                                   → {results: [...new since last call]}
 POST /v1/stream/{id}/end          → {results, latency: {...}} and closes
@@ -62,13 +65,21 @@ def _decode_body(body: bytes, content_type: str, headers) -> np.ndarray:
     ctype = (content_type or "").split(";")[0].strip().lower()
     if ctype in ("audio/x-raw-pcm", "application/x-raw-pcm"):
         fmt = (headers.get("X-Format") or "f32").lower()
-        sr = int(headers.get("X-Sample-Rate") or SAMPLE_RATE)
-        if fmt == "f32":
-            audio = np.frombuffer(body, np.float32)
-        elif fmt == "i16":
-            audio = np.frombuffer(body, np.int16).astype(np.float32) / 32768.0
-        else:
-            raise _BadRequest(f"unknown X-Format {fmt!r} (use f32 or i16)")
+        try:
+            sr = int(headers.get("X-Sample-Rate") or SAMPLE_RATE)
+        except ValueError:
+            raise _BadRequest("X-Sample-Rate must be an integer")
+        try:
+            if fmt == "f32":
+                audio = np.frombuffer(body, np.float32)
+            elif fmt == "i16":
+                audio = (
+                    np.frombuffer(body, np.int16).astype(np.float32) / 32768.0
+                )
+            else:
+                raise _BadRequest(f"unknown X-Format {fmt!r} (use f32 or i16)")
+        except ValueError as e:  # e.g. body length not a sample multiple
+            raise _BadRequest(f"bad PCM body: {e}") from e
         if sr != SAMPLE_RATE:
             from whisperx_tpu.audio.io import _resample
 
@@ -106,12 +117,52 @@ def _decode_body(body: bytes, content_type: str, headers) -> np.ndarray:
             raise _BadRequest(f"cannot decode audio body: {e}") from e
 
 
+def _parse_int(value, name: str, default: int) -> int:
+    if value is None:
+        return default
+    try:
+        return int(value)
+    except ValueError:
+        raise _BadRequest(f"{name} must be an integer, got {value!r}")
+
+
+def _parse_float(value, name: str):
+    if value is None:
+        return None
+    try:
+        return float(value)
+    except ValueError:
+        raise _BadRequest(f"{name} must be a number, got {value!r}")
+
+
+def _validated_language(value):
+    """Normalize a client-supplied language or raise _BadRequest — client
+    input must never reach the batcher worker unvalidated."""
+    if value is None:
+        return None
+    from whisperx_tpu.utils.languages import normalize_language
+
+    try:
+        return normalize_language(value)
+    except ValueError as e:
+        raise _BadRequest(str(e)) from e
+
+
+def _validated_task(value):
+    if value is None:
+        return None
+    if value not in ("transcribe", "translate"):
+        raise _BadRequest(f"task must be transcribe or translate, got {value!r}")
+    return value
+
+
 class _StreamSession:
     def __init__(self, transcriber: StreamingTranscriber):
         self.transcriber = transcriber
         self.lock = threading.Lock()
         self.cursor = 0  # results already delivered
         self.created = time.monotonic()
+        self.last_used = time.monotonic()
 
     def take_new(self):
         results = self.transcriber.results
@@ -128,12 +179,14 @@ class TranscriptionServer:
         pipeline,
         model_name: str = "",
         batch_config: Optional[BatchConfig] = None,
+        stream_ttl_s: float = 900.0,
     ):
         self.pipeline = pipeline
         self.model_name = model_name
         self.batcher = ContinuousBatcher(pipeline, batch_config)
         self.streams: dict[str, _StreamSession] = {}
         self._streams_lock = threading.Lock()
+        self.stream_ttl_s = stream_ttl_s
         self.started_at = time.time()
         self._httpd: Optional[ThreadingHTTPServer] = None
 
@@ -150,15 +203,18 @@ class TranscriptionServer:
         if not req.done.wait(timeout):
             raise TimeoutError("transcription request timed out")
         result = dict(req.result or {})
+        if set(result) == {"error"}:  # batch failed; surface, don't fake a 200
+            raise RuntimeError(result["error"])
         result["wall_s"] = round(time.monotonic() - t0, 3)
         return result
 
-    def open_stream(self, partial_interval=None) -> str:
-        # language follows the server pipeline's language (pinned at start
-        # or auto-detected per chunk) — per-stream overrides would recompile
+    def open_stream(self, partial_interval=None, language=None) -> str:
+        self._reap_streams()
         cfg = StreamingConfig()
         if partial_interval:
             cfg.partial_interval_seconds = float(partial_interval)
+        if language:
+            cfg.language = language
         tr = StreamingTranscriber(self.pipeline, cfg)
         sid = uuid.uuid4().hex[:12]
         with self._streams_lock:
@@ -170,7 +226,24 @@ class TranscriptionServer:
             sess = self.streams.get(sid)
         if sess is None:
             raise KeyError(sid)
+        sess.last_used = time.monotonic()
         return sess
+
+    def _reap_streams(self) -> None:
+        """Drop sessions whose client vanished without POSTing /end — each
+        pins a ring buffer + results, so abandonment must not leak."""
+        now = time.monotonic()
+        with self._streams_lock:
+            dead = [
+                sid for sid, s in self.streams.items()
+                if now - s.last_used > self.stream_ttl_s
+            ]
+            sessions = [self.streams.pop(sid) for sid in dead]
+        for sess in sessions:
+            try:
+                sess.transcriber.stop()
+            except Exception:
+                pass
 
     def close_stream(self, sid: str):
         sess = self.stream(sid)
@@ -301,15 +374,18 @@ def _make_handler(app: TranscriptionServer):
                         raise _BadRequest("empty audio body")
                     result = app.transcribe(
                         audio,
-                        priority=int(q.get("priority", 10)),
-                        language=q.get("language"),
-                        task=q.get("task"),
+                        priority=_parse_int(q.get("priority"), "priority", 10),
+                        language=_validated_language(q.get("language")),
+                        task=_validated_task(q.get("task")),
                     )
                     result["request_id"] = uuid.uuid4().hex[:12]
                     self._json(200, result)
                 elif url.path == "/v1/stream/start":
                     sid = app.open_stream(
-                        partial_interval=q.get("partial_interval"),
+                        partial_interval=_parse_float(
+                            q.get("partial_interval"), "partial_interval"
+                        ),
+                        language=_validated_language(q.get("language")),
                     )
                     self._json(200, {"stream_id": sid})
                 elif m := _STREAM_RE.match(url.path):

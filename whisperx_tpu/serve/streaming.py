@@ -35,6 +35,8 @@ class StreamingConfig:
     partial_interval_seconds: Optional[float] = None
     # token budget per partial decode (prefix + generated tail)
     partial_token_budget: int = 224
+    # per-stream language override (None = pipeline language / auto-detect)
+    language: Optional[str] = None
 
 
 class AudioRingBuffer:
@@ -342,7 +344,9 @@ class StreamingTranscriber:
         if self._incremental is None:
             self._incremental = IncrementalUtteranceDecoder(
                 self.pipeline.model,
-                language=getattr(self.pipeline, "language", None) or "en",
+                language=self.config.language
+                or getattr(self.pipeline, "language", None)
+                or "en",
                 task=getattr(self.pipeline, "task", "transcribe"),
                 token_budget=self.config.partial_token_budget,
             )
@@ -374,6 +378,8 @@ class StreamingTranscriber:
             # previous committed text conditions the next chunk's decode
             # (reference mlx_streaming.py prev-text via initial_prompt)
             kwargs = {"initial_prompt": self._prev_text[-200:]}
+        if self.config.language:
+            kwargs["language"] = self.config.language
         result = self.pipeline.transcribe(chunk, **kwargs)
         self._consumed += len(chunk)
         t_fed = self._feed_time_for(self._consumed)
