@@ -373,3 +373,21 @@ def test_three_speaker_spectral_clustering_option():
     )
     df = pipe(audio, max_speakers=5)
     assert len(df["speaker"].unique()) == 3, df
+
+
+def test_spectral_cluster_honors_cannot_link():
+    """Two near-identical embeddings with a cannot-link constraint must end
+    in different clusters (regression: spectral dropped the constraints
+    that the speaker-count comment relies on; only AHC enforced them)."""
+    from whisperx_tpu.diarize.clustering import spectral_cluster
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(16)
+    x = np.stack([a, a + 1e-4 * rng.standard_normal(16),
+                  -a, -a + 1e-4 * rng.standard_normal(16)])
+    # unconstrained: the two a-copies merge
+    free = spectral_cluster(x, num_clusters=2)
+    assert free[0] == free[1]
+    # constrained: they must separate even though they are nearest
+    pinned = spectral_cluster(x, num_clusters=2, cannot_link=[(0, 1)])
+    assert pinned[0] != pinned[1]

@@ -454,3 +454,48 @@ def test_incremental_decoder_prefix_outgrows_budget(nano_model):
         assert info["stable_tokens"][: len(prev)] == prev
         prev = info["stable_tokens"]
     assert len(prev) > 16  # it DID commit across the bucket boundary
+
+
+def test_incremental_decoder_budget_below_bucket(nano_model):
+    """token_budget below PREFIX_BUCKET (32): nothing is replayed, never a
+    negative slice / negative sample_len (regression: stable[:-32] and
+    sample_len<0 once the prefix grew past 48)."""
+    from tests.conftest import synth_speech
+    from whisperx_tpu.serve.streaming import IncrementalUtteranceDecoder
+
+    dec = IncrementalUtteranceDecoder(nano_model, language="en", token_budget=16)
+    audio = synth_speech(4.0, seed=11)
+    for _ in range(4):
+        info = dec.partial(audio)  # must not raise
+        assert len(info["tokens"]) <= 64
+
+
+def test_streaming_feed_times_pruned(speech_5s):
+    """Consumed feed-time entries are dropped — a live-mic stream feeding
+    small packets must not grow _feed_times without bound."""
+    pipe = FakePipeline()
+    tr = StreamingTranscriber(pipe, StreamingConfig())
+    piece = np.concatenate([speech_5s, np.zeros(16000, np.float32)])
+    for start in range(0, len(piece), 800):  # 50 ms packets
+        tr.feed(piece[start:start + 800])
+    assert len(tr._feed_times) > 100
+    tr.process_available()  # consumes + emits → prune happens in lookup
+    assert tr._consumed > 0
+    assert len(tr._feed_times) < 10
+
+
+def test_draft_model_clears_beam_size_with_warning(nano_model):
+    """--draft_model with the CLI's default beam_size=5 must not silently
+    decode with beam search while never loading the draft."""
+    import warnings as _w
+
+    from whisperx_tpu.asr import TranscriptionPipeline
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        pipe = TranscriptionPipeline(
+            model=nano_model,
+            asr_options={"draft_model": "self:1", "beam_size": 5},
+        )
+    assert pipe.asr_options["beam_size"] is None
+    assert any("greedy-only" in str(r.message) for r in rec)

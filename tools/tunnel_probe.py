@@ -33,17 +33,20 @@ def main():
     t_round = time.time() - t0
 
     mb = 16
-    host = np.random.default_rng(0).standard_normal(mb * 131072).astype(np.float32)
+    # mb MiB of float32: mb * 262144 elements * 4 B  (a prior revision sent
+    # mb/2 MiB but divided mb*4 by the time — an 8x bandwidth overstatement
+    # that made the 'slow' verdict unreachable)
+    host = np.random.default_rng(0).standard_normal(mb * 262144).astype(np.float32)
     t0 = time.time()
     dev = jax.device_put(host)
     np.asarray(dev[:1])
     t_up = time.time() - t0
-    up_mbps = mb * 4 / t_up
+    up_mbps = mb / t_up
 
     t0 = time.time()
     _ = np.asarray(dev)
     t_down = time.time() - t0
-    down_mbps = mb * 4 / t_down
+    down_mbps = mb / t_down
 
     if t_round > 60:
         verdict, code = "stalled", 3

@@ -129,6 +129,21 @@ class TranscriptionPipeline:
     def __post_init__(self):
         self.asr_options = {**DEFAULT_ASR_OPTIONS, **(self.asr_options or {})}
         self._spec_decoder = None
+        if (
+            self.asr_options.get("draft_model") is not None
+            and self.asr_options.get("beam_size") is not None
+        ):
+            # speculative decoding is greedy-only (token-identical to
+            # greedy); beam search would silently win the gate and the
+            # draft model would never load — make the choice explicit
+            import warnings
+
+            warnings.warn(
+                "draft_model requests speculative decoding, which is "
+                "greedy-only; ignoring beam_size="
+                f"{self.asr_options['beam_size']}."
+            )
+            self.asr_options["beam_size"] = None
 
     def _spec(self):
         """Lazily build the SpeculativeDecoder when a draft model is

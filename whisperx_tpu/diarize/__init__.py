@@ -192,11 +192,16 @@ class DiarizationPipeline:
         # (cannot-link constraints make the bound binding in clustering).
         concurrent = int((active_frames > 0).sum(axis=1).max())
         est_min = max(min_speakers or 1, concurrent)
+        # same-window items are necessarily different people; items are
+        # window-major, so group per window instead of scanning all pairs
+        by_window: dict = {}
+        for idx, (w, _k) in enumerate(items):
+            by_window.setdefault(w, []).append(idx)
         cannot_link = [
-            (i, j)
-            for i in range(len(items))
-            for j in range(i + 1, len(items))
-            if items[i][0] == items[j][0]
+            (a, b)
+            for idxs in by_window.values()
+            for ai, a in enumerate(idxs)
+            for b in idxs[ai + 1:]
         ]
         if self.clustering == "spectral":
             from whisperx_tpu.diarize.clustering import spectral_cluster
@@ -206,6 +211,7 @@ class DiarizationPipeline:
                 num_clusters=num_speakers,
                 min_clusters=est_min,
                 max_clusters=max_speakers,
+                cannot_link=cannot_link,
             )
         else:
             labels = agglomerative_cluster(

@@ -105,6 +105,7 @@ def spectral_cluster(
     min_clusters: int = 1,
     max_clusters: Optional[int] = None,
     threshold: float = 0.35,
+    cannot_link: Optional[list] = None,
 ) -> np.ndarray:
     """Spectral (normalized-cuts style) clustering on the cosine-affinity
     graph — the scoring alternative from ROADMAP to average-linkage AHC.
@@ -169,11 +170,34 @@ def spectral_cluster(
             ((emb[:, None, :] - emb[None, centers, :]) ** 2).sum(-1), axis=1
         )
         centers.append(int(np.argmax(d2)))
+    # cannot-link adjacency (COP-KMeans style constrained assignment:
+    # most-confident items assign first; each item takes its nearest
+    # center whose cluster holds no cannot-link partner, falling back to
+    # nearest when no center is feasible)
+    cons: dict = {}
+    for a, b in cannot_link or ():
+        cons.setdefault(a, []).append(b)
+        cons.setdefault(b, []).append(a)
+
+    def assign(d2):
+        if not cons:
+            return d2.argmin(axis=1)
+        lab = np.full(n, -1, np.int64)
+        for i in np.argsort(d2.min(axis=1)):
+            forbidden = {lab[j] for j in cons.get(int(i), ()) if lab[j] >= 0}
+            for c in np.argsort(d2[i]):
+                if int(c) not in forbidden:
+                    lab[i] = int(c)
+                    break
+            else:
+                lab[i] = int(d2[i].argmin())
+        return lab
+
     cent = emb[centers]
     labels = np.zeros(n, np.int64)
     for _ in range(50):
         d2 = ((emb[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        new_labels = d2.argmin(axis=1)
+        new_labels = assign(d2)
         if (new_labels == labels).all():
             break
         labels = new_labels

@@ -176,30 +176,45 @@ class IncrementalUtteranceDecoder:
             self.TOKEN_BUDGET = token_budget
         self.stable: List[int] = []
         self._last_full: Optional[List[int]] = None
+        self._tok = None  # built once; construction reads the ranks file
 
     def reset(self) -> None:
         self.stable = []
         self._last_full = None
+
+    def _tokenizer(self):
+        if self._tok is None:
+            from whisperx_tpu.decoding import get_tokenizer
+
+            self._tok = get_tokenizer(
+                self.model.is_multilingual,
+                num_languages=self.model.num_languages,
+                language=self.language,
+                task=self.task,
+                vocab_path=self.model.vocab_path,
+            )
+        return self._tok
 
     def partial(self, audio: np.ndarray) -> dict:
         """Decode the utterance-so-far; returns {text, stable_text,
         tokens, stable_tokens}."""
         from whisperx_tpu.audio import N_SAMPLES, pad_or_trim
         from whisperx_tpu.audio.mel import log_mel_spectrogram
-        from whisperx_tpu.decoding import DecodingOptions, decode, get_tokenizer
+        from whisperx_tpu.decoding import DecodingOptions, decode
 
         head = np.asarray(pad_or_trim(np.asarray(audio, np.float32), N_SAMPLES))
         mel = log_mel_spectrogram(head, self.model.dims.n_mels).T  # [T, n_mels]
         # the committed prefix can outgrow the budget (agreement keeps
         # extending it); cap the REPLAYED part so at least one bucket of
         # generation budget always remains — sample_len must stay positive
-        max_replay = self.TOKEN_BUDGET - self.PREFIX_BUCKET
-        replay = self.stable[
-            : min(
-                (len(self.stable) // self.PREFIX_BUCKET) * self.PREFIX_BUCKET,
-                (max_replay // self.PREFIX_BUCKET) * self.PREFIX_BUCKET,
-            )
-        ]
+        # (clamped: a budget below one bucket means nothing is replayed,
+        # never a negative slice)
+        max_replay = max(0, self.TOKEN_BUDGET - self.PREFIX_BUCKET)
+        replay_len = min(
+            (len(self.stable) // self.PREFIX_BUCKET) * self.PREFIX_BUCKET,
+            (max_replay // self.PREFIX_BUCKET) * self.PREFIX_BUCKET,
+        )
+        replay = self.stable[:replay_len]
         opts = DecodingOptions(
             language=self.language,
             task=self.task,
@@ -207,7 +222,7 @@ class IncrementalUtteranceDecoder:
             prefix=list(replay) or None,
             sample_len=self.TOKEN_BUDGET - len(replay),
         )
-        result = decode(self.model, mel, opts)
+        result = decode(self.model, mel, opts, tokenizer=self._tokenizer())
         # committed tokens are FINAL (the LocalAgreement contract): the
         # regenerated span inside [len(replay), len(stable)) is discarded
         # in favor of the committed tokens, and the fresh tail splices on
@@ -226,13 +241,7 @@ class IncrementalUtteranceDecoder:
                 self.stable = full[:n]
         self._last_full = full
 
-        tok = get_tokenizer(
-            self.model.is_multilingual,
-            num_languages=self.model.num_languages,
-            language=self.language,
-            task=self.task,
-            vocab_path=self.model.vocab_path,
-        )
+        tok = self._tokenizer()
         return {
             "text": tok.decode(full).strip(),
             "stable_text": tok.decode(self.stable).strip(),
@@ -275,7 +284,20 @@ class StreamingTranscriber:
         self._feed_times.append((self._fed, time.monotonic()))
 
     def _feed_time_for(self, cum_samples: int) -> Optional[float]:
-        """Wall time at which the cum_samples-th sample was fed."""
+        """Wall time at which the cum_samples-th sample was fed.
+
+        Entries below the already-consumed watermark can never be queried
+        again, so they are pruned here — a live-mic stream feeding small
+        packets would otherwise grow the list without bound and rescan it
+        from the start on every emit."""
+        drop = 0
+        for c, _ in self._feed_times:
+            if c < self._consumed and c < cum_samples:
+                drop += 1
+            else:
+                break
+        if drop:
+            del self._feed_times[:drop]
         for c, ts in self._feed_times:
             if c >= cum_samples:
                 return ts
