@@ -240,3 +240,106 @@ def test_best_of_ignored_at_zero_temperature(nano_model):
         decode(nano_model, _mel(seed=8)[0], opts0).tokens
         == decode(nano_model, _mel(seed=8)[0], optsn).tokens
     )
+
+
+def test_suppress_blank_disabled_leaves_eot_free(nano_model):
+    """With suppress_blank=False upstream whisper may emit EOT at the very
+    first sampled step (empty transcript on silence); the filter chain must
+    not mask EOT when the option is off."""
+    from whisperx_tpu.decoding.decode import _StaticConfig, _apply_filters
+    from whisperx_tpu.decoding.filters import FilterState
+
+    tok = get_tokenizer(True, language="en")
+
+    def cfg(suppress_blank):
+        return _StaticConfig(
+            n_head=2, n_text_ctx=448, eot=tok.eot, sot_index=0,
+            no_speech_token=tok.no_speech,
+            timestamp_begin=tok.timestamp_begin,
+            no_timestamps=tok.no_timestamps, sample_len=8,
+            max_initial_timestamp_index=None,
+            suppress_blank=suppress_blank,
+            blank_tokens=tuple(tok.encode(" ")) if suppress_blank else (),
+            suppress=(), without_timestamps=True, greedy=True,
+        )
+
+    logits = jnp.zeros((1, 51865), jnp.float32)
+    state = FilterState(
+        last_token=jnp.zeros((1,), jnp.int32),
+        penult_token=jnp.zeros((1,), jnp.int32),
+        last_timestamp=jnp.full((1,), tok.timestamp_begin, jnp.int32),
+        has_timestamp=jnp.zeros((1,), bool),
+        step=jnp.int32(0),
+    )
+    masked = _apply_filters(logits, state, cfg(True))
+    free = _apply_filters(logits, state, cfg(False))
+    assert np.isneginf(np.asarray(masked)[0, tok.eot])
+    assert np.asarray(free)[0, tok.eot] == 0.0
+
+
+def test_huge_prefix_truncated_not_crashing(nano_model):
+    """A prefix near/above n_text_ctx must be trimmed (upstream semantics),
+    not drive sample_len negative."""
+    prefix = list(range(300, 800))  # 500 tokens > n_ctx=448
+    res = decode(
+        nano_model,
+        _mel(seed=11)[0],
+        DecodingOptions(language="en", prefix=prefix, sample_len=16,
+                        without_timestamps=True),
+    )
+    assert isinstance(res.tokens, list)
+
+
+def test_beam_dispatch_does_not_materialize(nano_model):
+    """Beam decode_dispatch must return a device handle (two-phase
+    contract), with materialization deferred to decode_finalize."""
+    from whisperx_tpu.decoding.decode import decode_dispatch, decode_finalize
+
+    handle = decode_dispatch(
+        nano_model, _mel(b=2, seed=12),
+        DecodingOptions(language="en", beam_size=2, sample_len=8),
+    )
+    assert "done" not in handle and "beam_device" in handle
+    results = decode_finalize(handle)
+    assert len(results) == 2 and all(r.audio_features is None for r in results)
+
+
+def test_best_of_selection_honors_length_penalty():
+    """Candidate pick must use upstream's ((5+len)/6)**penalty score."""
+    from whisperx_tpu.decoding.decode import decode_finalize
+
+    tok = get_tokenizer(True, language="en")
+    # cand0: short, lower total; cand1: long, higher total.
+    tokens = np.array([[5, tok.eot, 0, 0], [5, 6, 7, tok.eot]])
+    lengths = np.array([2, 4])
+    sums = np.array([-1.0, -1.5])
+    nsp = np.zeros(2)
+
+    def run(lp):
+        handle = {
+            "device": (tokens, lengths, sums, nsp, None),
+            "b": 1, "n_cand": 2, "single": True, "tokenizer": tok,
+            "language": "en", "language_probs": [None],
+            "options": DecodingOptions(temperature=0.7, best_of=2,
+                                       length_penalty=lp),
+            "keep_audio_features": False,
+        }
+        return decode_finalize(handle)
+
+    # length-normalized (None): -1/3 vs -1.5/5 → cand1 wins
+    assert len(run(None).tokens) == 4
+    # strong length penalty boosts short: -1/((7/6)**4) vs -1.5/((9/6)**4)
+    # = -0.54 vs -0.30 → still cand1... use penalty favoring short:
+    # lp=0 → raw sums: -1.0 > -1.5 → cand0 wins
+    assert len(run(0.0).tokens) == 2
+
+
+def test_auto_language_detection_shares_encoder(nano_model):
+    """language=None path: detection + decode share one encoder pass and
+    still produce a valid result with language_probs."""
+    res = decode(
+        nano_model, _mel(seed=13)[0],
+        DecodingOptions(language=None, sample_len=8, without_timestamps=True),
+    )
+    assert res.language is not None
+    assert res.language_probs and isinstance(res.language_probs, dict)

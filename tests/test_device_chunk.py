@@ -163,3 +163,26 @@ def test_transcribe_many_pooled_mels(nano_model):
         assert m["language"] == "en"
         for seg in m["segments"]:
             assert 0 <= seg["start"] < seg["end"] <= len(a) / SAMPLE_RATE + 0.1
+
+
+def test_chunk_mels_empty_list():
+    """No chunks → empty [0, 3000, n_mels] result, not an IndexError."""
+    from whisperx_tpu.audio.device_chunk import chunk_mels, upload_audio
+
+    dev = upload_audio(np.zeros(16000, np.float32))
+    out = chunk_mels(dev, [], 80)
+    assert out.shape == (0, 3000, 80)
+
+
+def test_pcm16_exact_accepts_full_scale_negative():
+    """-32768 (a clipped full-scale negative PCM sample) is representable
+    in int16 and must keep the lossless int16 upload path."""
+    from whisperx_tpu.audio.device_chunk import _pcm16_exact
+
+    a = np.array([-32768, -1, 0, 1, 32767], np.int16)
+    f = a.astype(np.float32) / 32768.0
+    kept = _pcm16_exact(f)
+    assert kept is not None and kept.dtype == np.int16
+    assert (kept == a).all()
+    # a genuinely non-PCM float falls back
+    assert _pcm16_exact(np.array([0.3333333], np.float32)) is None

@@ -23,13 +23,13 @@ program as `log_mel_batch`.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Union
+from typing import List, NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from whisperx_tpu.audio.constants import N_SAMPLES, SAMPLE_RATE
+from whisperx_tpu.audio.constants import HOP_LENGTH, N_SAMPLES, SAMPLE_RATE
 from whisperx_tpu.audio.mel import _log_mel_batch_body
 
 # Uploads are padded to whole minutes so XLA sees few distinct lengths
@@ -46,15 +46,29 @@ class DeviceAudio(NamedTuple):
     length: int
 
 
-def to_device(padded: np.ndarray) -> jnp.ndarray:
-    """Upload audio, as int16 when it is PCM-exact (lossless): values of
+def _pcm16_exact(padded: np.ndarray) -> Optional[np.ndarray]:
+    """The waveform as int16 when that is LOSSLESS, else None: values of
     the form k/32768 scale to exact integers in f32, so the check is a
-    bitwise guarantee, not a tolerance — and the int16 payload halves the
-    ~40 MB/s tunnel cost."""
+    bitwise guarantee, not a tolerance. int16's range is asymmetric —
+    -32768 is representable (a full-scale negative sample from clipped
+    PCM must not force an f32 upload)."""
     scaled = padded * 32768.0
     a16 = np.round(scaled)
-    if np.abs(scaled - a16).max() == 0.0 and np.abs(a16).max() <= 32767:
-        return jnp.asarray(a16.astype(np.int16)).astype(jnp.float32) / 32768.0
+    if (
+        np.abs(scaled - a16).max() == 0.0
+        and a16.min() >= -32768
+        and a16.max() <= 32767
+    ):
+        return a16.astype(np.int16)
+    return None
+
+
+def to_device(padded: np.ndarray) -> jnp.ndarray:
+    """Upload audio, as int16 when it is PCM-exact (the int16 payload
+    halves the ~40 MB/s tunnel cost)."""
+    a16 = _pcm16_exact(padded)
+    if a16 is not None:
+        return jnp.asarray(a16).astype(jnp.float32) / 32768.0
     return jnp.asarray(padded)
 
 
@@ -126,5 +140,7 @@ def chunk_mels(
                 dev.data, jnp.asarray(s_part), jnp.asarray(l_part), n_mels
             )
         )
+    if not parts:  # no chunks: empty [0, 3000, n_mels], not an IndexError
+        return jnp.zeros((0, N_SAMPLES // HOP_LENGTH, n_mels), jnp.float32)
     out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     return out[:n]

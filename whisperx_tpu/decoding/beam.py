@@ -56,7 +56,10 @@ def _beam_decode_jit(params, mel, initial_tokens, cfg, beam_size: int):
     bk = b * k
     n_init = initial_tokens.shape[1]
 
-    audio_features = encoder_forward(params, mel, cfg.n_head)
+    if getattr(cfg, "audio_is_features", False):
+        audio_features = mel  # pre-encoded (shared with language detection)
+    else:
+        audio_features = encoder_forward(params, mel, cfg.n_head)
     cross_k, cross_v = precompute_cross_kv(params, audio_features, cfg.n_head)
     # tile along batch for beams: per-layer [B, T, H, D] -> [B*K, T, H, D]
     cross_k = tuple(jnp.repeat(x, k, axis=0) for x in cross_k)

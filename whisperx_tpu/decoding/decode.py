@@ -33,7 +33,6 @@ from whisperx_tpu.models.whisper.model import (
     KVCache,
     decoder_forward,
     encoder_forward,
-    init_kv_cache,
     precompute_cross_kv,
 )
 from whisperx_tpu.utils.text import compression_ratio
@@ -88,17 +87,25 @@ class _StaticConfig:
     no_timestamps: int
     sample_len: int
     max_initial_timestamp_index: Optional[int]
+    suppress_blank: bool
     blank_tokens: Tuple[int, ...]
     suppress: Tuple[int, ...]
     without_timestamps: bool
     greedy: bool
     kv_quant: bool = False
     n_head_audio: int = 0  # encoder heads (used by in-jit encoder callers)
+    # when True, _decode_jit's audio input is PRE-ENCODED features (the
+    # auto-language path encodes once and shares with detection)
+    audio_is_features: bool = False
 
 
 def _apply_filters(logits, state, cfg: _StaticConfig):
     logits = logits.astype(jnp.float32)
-    logits = F.suppress_blank(logits, state, cfg.blank_tokens, cfg.eot)
+    if cfg.suppress_blank:
+        # upstream SuppressBlank masks blank openings AND EOT at the first
+        # sampled step — but only when the filter is enabled; with
+        # suppress_blank=False the model may emit EOT immediately
+        logits = F.suppress_blank(logits, state, cfg.blank_tokens, cfg.eot)
     logits = F.suppress_tokens(logits, cfg.suppress)
     if not cfg.without_timestamps:
         logits = F.apply_timestamp_rules(
@@ -123,7 +130,10 @@ def _decode_jit(params, mel, initial_tokens, rng, temperature, cfg: _StaticConfi
     b = mel.shape[0]
     n_init = initial_tokens.shape[1]
 
-    audio_features = encoder_forward(params, mel, cfg.n_head)
+    if cfg.audio_is_features:
+        audio_features = mel  # pre-encoded [B, 1500, D]
+    else:
+        audio_features = encoder_forward(params, mel, cfg.n_head)
     cross_k, cross_v = precompute_cross_kv(params, audio_features, cfg.n_head)
     if cfg.kv_quant:
         from whisperx_tpu.models.whisper.model import quantize_kv
@@ -194,6 +204,11 @@ def _decode_jit(params, mel, initial_tokens, rng, temperature, cfg: _StaticConfi
     return tokens_buf, lengths, sum_logprobs, no_speech_probs, audio_features
 
 
+@functools.partial(jax.jit, static_argnames=("n_head",))
+def _encode_jit(params, mel, n_head):
+    return encoder_forward(params, mel, n_head)
+
+
 def init_kv_cache_like(params, batch, cfg: _StaticConfig, n_init: int = 0):
     """Self-attention cache sized to the actual decode budget (prefix +
     sample_len, rounded up), NOT the full n_text_ctx — every decode step
@@ -214,14 +229,22 @@ def init_kv_cache_like(params, batch, cfg: _StaticConfig, n_init: int = 0):
 
 @functools.partial(jax.jit, static_argnames=("n_head", "sot", "lang_tokens"))
 def _detect_language_jit(params, mel, n_head, sot, lang_tokens):
-    b = mel.shape[0]
     audio_features = encoder_forward(params, mel, n_head)
+    return _detect_language_features_jit(
+        params, audio_features, n_head, sot, lang_tokens
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "sot", "lang_tokens"))
+def _detect_language_features_jit(params, audio_features, n_head, sot, lang_tokens):
+    b = audio_features.shape[0]
     cross_k, cross_v = precompute_cross_kv(params, audio_features, n_head)
     n_layer = len(cross_k)
     d = params["decoder"]["tok_emb"].shape[1]
-    n_ctx = params["decoder"]["pos_emb"].shape[0]
     dtype = params["decoder"]["tok_emb"].dtype
-    shape = (b, n_ctx, n_head, d // n_head)
+    # one-token forward: an 8-slot self cache suffices (the causal mask is
+    # positional), instead of zero-allocating the full n_text_ctx cache
+    shape = (b, 8, n_head, d // n_head)
     cache = KVCache(
         tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
         tuple(jnp.zeros(shape, dtype) for _ in range(n_layer)),
@@ -236,17 +259,27 @@ def _detect_language_jit(params, mel, n_head, sot, lang_tokens):
     return jax.nn.softmax(logits + mask, axis=-1)
 
 
-def detect_language(model, mel: jnp.ndarray, tokenizer) -> Tuple[list, list]:
+def detect_language(
+    model, mel: jnp.ndarray, tokenizer, *, features=None
+) -> Tuple[list, list]:
     """Language id per batch row: returns (codes, prob dicts).
 
     Parity: mlx_whisper DecodingTask._detect_language (SURVEY.md §2.9).
+    ``features``: pre-encoded audio features to reuse (skips the encoder).
     """
-    if mel.ndim == 2:
-        mel = mel[None]
     lang_tokens = tuple(tokenizer.all_language_tokens)
-    probs = _detect_language_jit(
-        model.params, mel, model.dims.n_audio_head, tokenizer.sot, lang_tokens
-    )
+    if features is not None:
+        probs = _detect_language_features_jit(
+            model.params, features, model.dims.n_audio_head, tokenizer.sot,
+            lang_tokens,
+        )
+    else:
+        if mel.ndim == 2:
+            mel = mel[None]
+        probs = _detect_language_jit(
+            model.params, mel, model.dims.n_audio_head, tokenizer.sot,
+            lang_tokens,
+        )
     probs = np.asarray(probs)
     codes, prob_dicts = [], []
     for row in probs:
@@ -261,7 +294,12 @@ def detect_language(model, mel: jnp.ndarray, tokenizer) -> Tuple[list, list]:
     return codes, prob_dicts
 
 
-def _build_initial_tokens(tokenizer, options: DecodingOptions) -> List[int]:
+def _build_initial_tokens(
+    tokenizer,
+    options: DecodingOptions,
+    n_text_ctx: int = 448,
+    sample_len: Optional[int] = None,
+) -> List[int]:
     tokens = list(tokenizer.sot_sequence)
     if options.without_timestamps:
         tokens = list(tokenizer.sot_sequence_including_notimestamps)
@@ -271,6 +309,14 @@ def _build_initial_tokens(tokenizer, options: DecodingOptions) -> List[int]:
             if isinstance(options.prefix, str)
             else list(options.prefix)
         )
+        # upstream whisper trims the prefix to n_ctx//2 - sample_len; we
+        # additionally never keep more than half the context, so a huge
+        # prefix can't drive the decode's sample budget to zero
+        max_prefix = n_text_ctx // 2 - (sample_len or 0)
+        if max_prefix <= 0:
+            max_prefix = n_text_ctx // 2
+        if len(prefix) > max_prefix:
+            prefix = prefix[-max_prefix:]
         tokens = tokens + prefix
     if options.prompt is not None:
         prompt = (
@@ -278,7 +324,7 @@ def _build_initial_tokens(tokenizer, options: DecodingOptions) -> List[int]:
             if isinstance(options.prompt, str)
             else list(options.prompt)
         )
-        n_ctx_half = 448 // 2 - 1
+        n_ctx_half = n_text_ctx // 2 - 1
         tokens = [tokenizer.sot_prev] + prompt[-n_ctx_half:] + tokens
     return tokens
 
@@ -341,22 +387,36 @@ def decode_dispatch(
 
     language = options.language
     language_probs = [None] * b
+    shared_features = None
     if model.is_multilingual and language is None:
-        codes, probs = detect_language(model, mel, tokenizer)
+        # encode ONCE and share the features between detection and the
+        # decode program (upstream computes audio_features once too)
+        shared_features = _encode_jit(
+            model.params, mel.astype(model.dtype), model.dims.n_audio_head
+        )
+        codes, probs = detect_language(
+            model, mel, tokenizer, features=shared_features
+        )
         # A single language per batch (whisper semantics: per-segment
         # language comes from the SOT sequence; take the majority).
         language = max(set(codes), key=codes.count)
         language_probs = probs
+        # replace() re-runs __post_init__, rebuilding the SOT sequence
         tokenizer = dataclasses.replace(tokenizer, language=language)
-        tokenizer.__post_init__()
     language = language or "en"
-
-    initial = _build_initial_tokens(tokenizer, options)
-    initial_arr = jnp.tile(jnp.asarray(initial, jnp.int32)[None], (b, 1))
-    sot_index = initial.index(tokenizer.sot)
 
     n_ctx = model.dims.n_text_ctx
     sample_len = options.sample_len or n_ctx // 2
+    initial = _build_initial_tokens(
+        tokenizer, options, n_text_ctx=n_ctx, sample_len=options.sample_len
+    )
+    if len(initial) >= n_ctx:
+        raise ValueError(
+            f"prompt+prefix occupy {len(initial)} of {n_ctx} context slots; "
+            "no room left to generate"
+        )
+    initial_arr = jnp.tile(jnp.asarray(initial, jnp.int32)[None], (b, 1))
+    sot_index = initial.index(tokenizer.sot)
     precision = 0.02
     max_initial_ts_index = None
     if options.max_initial_timestamp is not None:
@@ -373,6 +433,7 @@ def decode_dispatch(
         no_timestamps=tokenizer.no_timestamps,
         sample_len=min(sample_len, n_ctx - len(initial)),
         max_initial_timestamp_index=max_initial_ts_index,
+        suppress_blank=options.suppress_blank,
         blank_tokens=blank if options.suppress_blank else (),
         suppress=F.build_suppress_list(
             tokenizer,
@@ -383,6 +444,7 @@ def decode_dispatch(
         greedy=options.temperature == 0,
         kv_quant=options.kv_quant
         or os.environ.get("WHISPERX_TPU_KV_QUANT") == "int8",
+        audio_is_features=shared_features is not None,
     )
 
     if rng is None:
@@ -403,44 +465,37 @@ def decode_dispatch(
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
+    # the decode program's audio input: raw mels, or the features already
+    # encoded for language detection (skips the second encoder pass)
+    audio_in = (
+        shared_features if shared_features is not None
+        else mel.astype(model.dtype)
+    )
+
     use_beam = options.beam_size is not None and options.temperature == 0
     if use_beam:
-        from whisperx_tpu.decoding.beam import _beam_decode_jit, rank_beams
+        from whisperx_tpu.decoding.beam import _beam_decode_jit
 
-        toks_bk, lens_bk, scores_bk, no_speech_probs, audio_features = (
-            _beam_decode_jit(
-                model.params,
-                _shard_data(mel.astype(model.dtype)),
-                _shard_data(initial_arr),
-                cfg,
-                int(options.beam_size),
-            )
+        beam_device = _beam_decode_jit(
+            model.params,
+            _shard_data(audio_in),
+            _shard_data(initial_arr),
+            cfg,
+            int(options.beam_size),
         )
-        toks_bk = np.asarray(toks_bk)
-        lens_bk = np.asarray(lens_bk)
-        scores_bk = np.asarray(scores_bk)
-        nsp = np.asarray(no_speech_probs)
-        results = []
-        for i in range(b):
-            best, avg_lp = rank_beams(
-                toks_bk[i], lens_bk[i], scores_bk[i], options.length_penalty
-            )
-            toks = toks_bk[i, best, : lens_bk[i, best]].tolist()
-            text = tokenizer.decode(toks).strip()
-            results.append(
-                DecodingResult(
-                    audio_features=audio_features[i],
-                    language=language,
-                    language_probs=language_probs[i],
-                    tokens=toks,
-                    text=text,
-                    avg_logprob=avg_lp,
-                    no_speech_prob=float(nsp[i]),
-                    temperature=0.0,
-                    compression_ratio=compression_ratio(text) if text else np.nan,
-                )
-            )
-        return {"done": results[0] if single else results}
+        # dispatch-only, like the greedy path: materialization happens in
+        # decode_finalize so the two-phase pipeline (queue every group,
+        # then block once) holds for beam search too
+        return {
+            "beam_device": beam_device,
+            "b": b,
+            "single": single,
+            "tokenizer": tokenizer,
+            "language": language,
+            "language_probs": language_probs,
+            "options": options,
+            "keep_audio_features": keep_audio_features,
+        }
 
     # best_of: at temperature > 0, sample n independent candidates per mel
     # row (upstream GreedyDecoder n_group semantics) and keep the one with
@@ -449,7 +504,7 @@ def decode_dispatch(
     n_cand = 1
     if options.temperature > 0 and options.best_of and int(options.best_of) > 1:
         n_cand = int(options.best_of)
-    mel_in = mel if n_cand == 1 else jnp.repeat(mel, n_cand, axis=0)
+    audio_in = audio_in if n_cand == 1 else jnp.repeat(audio_in, n_cand, axis=0)
     init_in = (
         initial_arr
         if n_cand == 1
@@ -458,7 +513,7 @@ def decode_dispatch(
 
     tokens_buf, lengths, sum_logprobs, no_speech_probs, audio_features = _decode_jit(
         model.params,
-        _shard_data(mel_in.astype(model.dtype)),
+        _shard_data(audio_in),
         _shard_data(init_in),
         rng,
         jnp.float32(max(options.temperature, 1e-6)),
@@ -477,11 +532,52 @@ def decode_dispatch(
     }
 
 
+def _finalize_beam(handle: dict) -> Union[DecodingResult, List[DecodingResult]]:
+    from whisperx_tpu.decoding.beam import rank_beams
+
+    toks_bk, lens_bk, scores_bk, no_speech_probs, audio_features = handle[
+        "beam_device"
+    ]
+    b = handle["b"]
+    tokenizer = handle["tokenizer"]
+    options = handle["options"]
+    keep_audio_features = handle["keep_audio_features"]
+    toks_bk = np.asarray(toks_bk)
+    lens_bk = np.asarray(lens_bk)
+    scores_bk = np.asarray(scores_bk)
+    nsp = np.asarray(no_speech_probs)
+    results = []
+    for i in range(b):
+        best, avg_lp = rank_beams(
+            toks_bk[i], lens_bk[i], scores_bk[i], options.length_penalty
+        )
+        toks = toks_bk[i, best, : lens_bk[i, best]].tolist()
+        text = tokenizer.decode(toks).strip()
+        results.append(
+            DecodingResult(
+                audio_features=(
+                    audio_features[i] if keep_audio_features else None
+                ),
+                language=handle["language"],
+                language_probs=handle["language_probs"][i],
+                tokens=toks,
+                text=text,
+                avg_logprob=avg_lp,
+                no_speech_prob=float(nsp[i]),
+                temperature=0.0,
+                compression_ratio=compression_ratio(text) if text else np.nan,
+            )
+        )
+    return results[0] if handle["single"] else results
+
+
 def decode_finalize(handle: dict) -> Union[DecodingResult, List[DecodingResult]]:
     """Materialize the results of a ``decode_dispatch`` call (blocks on the
     device)."""
     if "done" in handle:
         return handle["done"]
+    if "beam_device" in handle:
+        return _finalize_beam(handle)
     tokens_buf, lengths, sum_logprobs, no_speech_probs, audio_features = handle[
         "device"
     ]
@@ -500,12 +596,20 @@ def decode_finalize(handle: dict) -> Union[DecodingResult, List[DecodingResult]]
     nsp = np.asarray(no_speech_probs)
 
     if n_cand > 1:
-        avg = sum_lp / (lengths_np + 1)
-        pick = avg.reshape(b, n_cand).argmax(axis=-1)
+        # upstream MaximumLikelihoodRanker: candidates score by
+        # sum_logprob / penalty, with penalty = ((5+len)/6)**length_penalty
+        # when a length penalty is set, plain length normalization otherwise
+        lp = options.length_penalty
+        if lp is not None:
+            penalty = ((5.0 + lengths_np) / 6.0) ** lp
+        else:
+            penalty = lengths_np + 1
+        pick = (sum_lp / penalty).reshape(b, n_cand).argmax(axis=-1)
         sel = np.arange(b) * n_cand + pick
         tokens_np, lengths_np = tokens_np[sel], lengths_np[sel]
         sum_lp, nsp = sum_lp[sel], nsp[sel]
-        audio_features = audio_features[sel]
+        if keep_audio_features:
+            audio_features = audio_features[sel]
 
     results = []
     for i in range(b):

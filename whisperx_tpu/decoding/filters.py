@@ -178,7 +178,6 @@ def build_suppress_list(
     tokenizer,
     suppress_tokens_option,
     *,
-    without_timestamps: bool = False,
     suppress_numerals: bool = False,
 ) -> Tuple[int, ...]:
     """Resolve the user-facing ``suppress_tokens`` option (reference
@@ -206,6 +205,4 @@ def build_suppress_list(
     if tokenizer.no_speech is not None:
         suppress.append(tokenizer.no_speech)
     suppress.extend(tokenizer.all_language_tokens)
-    if without_timestamps:
-        suppress.append(tokenizer.no_timestamps)
     return tuple(sorted(set(suppress)))

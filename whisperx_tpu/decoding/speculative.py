@@ -605,9 +605,13 @@ class SpeculativeDecoder:
                 task=options.task,
                 vocab_path=self.target.vocab_path,
             )
-        initial = _build_initial_tokens(tokenizer, options)
-        n_init = len(initial)
         sample_len = options.sample_len or self.target.dims.n_text_ctx // 2
+        initial = _build_initial_tokens(
+            tokenizer, options,
+            n_text_ctx=self.target.dims.n_text_ctx,
+            sample_len=options.sample_len,
+        )
+        n_init = len(initial)
         cfg = _StaticConfig(
             n_head=self.target.dims.n_text_head,
             n_text_ctx=self.target.dims.n_text_ctx,
@@ -623,6 +627,7 @@ class SpeculativeDecoder:
                 if options.max_initial_timestamp is not None
                 else None
             ),
+            suppress_blank=options.suppress_blank,
             blank_tokens=tuple(tokenizer.encode(" "))
             if options.suppress_blank
             else (),
@@ -661,9 +666,13 @@ class SpeculativeDecoder:
                 vocab_path=self.target.vocab_path,
             )
 
-        initial = _build_initial_tokens(tokenizer, options)
-        n_init = len(initial)
         sample_len = options.sample_len or self.target.dims.n_text_ctx // 2
+        initial = _build_initial_tokens(
+            tokenizer, options,
+            n_text_ctx=self.target.dims.n_text_ctx,
+            sample_len=options.sample_len,
+        )
+        n_init = len(initial)
         cfg = _StaticConfig(
             n_head=self.target.dims.n_text_head,
             n_text_ctx=self.target.dims.n_text_ctx,
@@ -678,6 +687,7 @@ class SpeculativeDecoder:
                 if options.max_initial_timestamp is not None
                 else None
             ),
+            suppress_blank=options.suppress_blank,
             blank_tokens=tuple(tokenizer.encode(" "))
             if options.suppress_blank
             else (),

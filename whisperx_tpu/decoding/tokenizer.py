@@ -279,9 +279,31 @@ def get_tokenizer(
     """Build a tokenizer. ``vocab_path`` may point at a tiktoken ranks file
     (preferred; converters place one next to model weights); otherwise the
     byte-fallback vocab keeps the layout exact for weightless operation.
+
+    Memoized: vocab construction reads/parses the ranks file, and the
+    serving/dispatch paths request a tokenizer per batch group — the same
+    (read-only) instance is shared. Callers needing a different language
+    use ``dataclasses.replace`` (a fresh copy) as ``decode`` does.
     """
     if vocab_path is None:
         vocab_path = os.environ.get("WHISPERX_TPU_VOCAB")
+    return _cached_tokenizer(
+        multilingual,
+        num_languages,
+        language,
+        task,
+        vocab_path,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_tokenizer(
+    multilingual: bool,
+    num_languages: int,
+    language: Optional[str],
+    task: Optional[str],
+    vocab_path: Optional[str],
+) -> Tokenizer:
     n_base = 50257 if multilingual else 50256
     if vocab_path == "gold-partial":
         vocab_path = default_partial_vocab_path()
