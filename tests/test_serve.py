@@ -271,10 +271,15 @@ def test_transcribe_many_per_request_language(nano_model, monkeypatch):
 
     monkeypatch.setattr(asr_mod, "decode_dispatch", fake_dispatch)
 
-    detected = iter(["fr", "en"])
-    monkeypatch.setattr(
-        TranscriptionPipeline, "detect_language", lambda self, a: next(detected)
-    )
+    # transcribe_many detects ALL undetected requests in ONE batched call
+    detect_calls = []
+
+    def fake_detect(model, mels, tok):
+        detect_calls.append(int(mels.shape[0]))
+        codes = ["fr", "en"][: mels.shape[0]]
+        return codes, [None] * len(codes)
+
+    monkeypatch.setattr(asr_mod, "_detect_language", fake_detect)
 
     class StubVAD:
         vad_onset = 0.5
@@ -300,6 +305,7 @@ def test_transcribe_many_per_request_language(nano_model, monkeypatch):
     audios = [np.zeros(16000 * 7, np.float32) for _ in range(2)]
     results = pipe.transcribe_many(audios)
     assert sorted(langs_used) == ["en", "fr"]  # one decode group per language
+    assert detect_calls == [2]  # ONE batched detection call for both requests
     assert results[0]["language"] == "fr"
     assert results[1]["language"] == "en"
     assert "bonjour" in results[0]["segments"][0]["text"]

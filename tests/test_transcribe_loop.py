@@ -91,3 +91,34 @@ def test_initial_prompt_accepted(nano_model):
         sample_len=4,
     )
     assert "segments" in result
+
+
+def test_fallback_short_circuits_on_confident_silence(monkeypatch):
+    """Upstream parity: no_speech_prob above threshold is NOT a quality
+    failure — a silent window must decode once, not climb the whole
+    temperature ladder re-sampling hallucinations."""
+    import whisperx_tpu.decoding.transcribe as tr_mod
+    from whisperx_tpu.decoding.decode import DecodingResult
+    from whisperx_tpu.decoding.transcribe import _decode_with_fallback
+
+    calls = []
+
+    def fake_decode(model, mel, opts):
+        calls.append(opts.temperature)
+        return DecodingResult(
+            audio_features=None, language="en", tokens=[], text="",
+            avg_logprob=-2.0,  # fails the logprob threshold
+            no_speech_prob=0.95,  # ...but it is confidently silence
+            temperature=opts.temperature, compression_ratio=1.0,
+        )
+
+    monkeypatch.setattr(tr_mod, "decode", fake_decode)
+    from whisperx_tpu.decoding import DecodingOptions
+
+    result = _decode_with_fallback(
+        object(), None, DecodingOptions(language="en"),
+        temperatures=[0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
+        thresholds=(2.4, -1.0, 0.6),
+    )
+    assert calls == [0.0]  # one decode, no ladder climb
+    assert result.temperature == 0.0

@@ -233,7 +233,13 @@ class TranscriptionPipeline:
             )
             return {
                 "segments": [
-                    {"start": s["start"], "end": s["end"], "text": s["text"]}
+                    {
+                        "start": s["start"],
+                        "end": s["end"],
+                        "text": s["text"],
+                        # word_timestamps=True attaches words — keep them
+                        **({"words": s["words"]} if "words" in s else {}),
+                    }
                     for s in result["segments"]
                 ],
                 "language": result["language"],
@@ -340,20 +346,37 @@ class TranscriptionPipeline:
             per_chunks = [self._segment_with_vad(d, chunk_size) for d in devs]
 
         # Per-request language: explicit value if the caller gave one,
-        # otherwise detected independently for each request (a French and
-        # an English caller sharing the batcher each keep their own
-        # language); same-(language, task) requests then share device
+        # otherwise detected for each request — all detections share ONE
+        # batched device call (each round-trip costs tens of ms through
+        # the tunnel); same-(language, task) requests then share device
         # batches within their group.
-        langs: List[str] = []
-        for a, chs, lg in zip(audios, per_chunks, req_langs):
+        langs: List[Optional[str]] = []
+        detect_idx: List[int] = []
+        for r, (chs, lg) in enumerate(zip(per_chunks, req_langs)):
             if lg is not None:
                 langs.append(lg)
             elif not chs or not self.model.is_multilingual:
                 langs.append("en")
             else:
-                s0 = int(chs[0]["start"] * SAMPLE_RATE)
-                e0 = int(chs[0]["end"] * SAMPLE_RATE)
-                langs.append(self.detect_language(a[s0:e0]))
+                langs.append(None)
+                detect_idx.append(r)
+        if detect_idx:
+            n_mels = self.model.dims.n_mels
+            first_mels = jnp.concatenate(
+                [
+                    chunk_mels(devs[r], per_chunks[r][:1], n_mels)
+                    for r in detect_idx
+                ],
+                axis=0,
+            )
+            tok = get_tokenizer(
+                self.model.is_multilingual,
+                num_languages=self.model.num_languages,
+                vocab_path=self.model.vocab_path,
+            )
+            codes, _ = _detect_language(self.model, first_mels, tok)
+            for r, code in zip(detect_idx, codes):
+                langs[r] = code
 
         # lay the requests out on one virtual timeline (whole-second bases
         # with a 1 s guard gap) so timestamps demux back per request; the
@@ -538,7 +561,11 @@ class TranscriptionPipeline:
                 audio_dev = upload_audio(audio)
                 mels = chunk_mels(audio_dev, chunks, n_mels)
 
-        temperatures = list(o["temperatures"])
+        temperatures = (
+            [o["temperatures"]]
+            if isinstance(o["temperatures"], (int, float))
+            else list(o["temperatures"])
+        )
         results: List[Optional[object]] = [None] * len(chunks)
         pending = list(range(len(chunks)))
 

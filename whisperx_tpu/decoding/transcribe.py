@@ -40,7 +40,7 @@ from whisperx_tpu.utils.languages import normalize_language
 def _decode_with_fallback(
     model, mel, options: DecodingOptions, temperatures, thresholds
 ) -> DecodingResult:
-    compression_ratio_threshold, logprob_threshold = thresholds
+    compression_ratio_threshold, logprob_threshold, no_speech_threshold = thresholds
     result = None
     for t in temperatures:
         opts = DecodingOptions(
@@ -65,6 +65,13 @@ def _decode_with_fallback(
             and result.avg_logprob < logprob_threshold
         ):
             needs_fallback = True
+        if (
+            no_speech_threshold is not None
+            and result.no_speech_prob > no_speech_threshold
+        ):
+            # upstream: confident silence is NOT a quality failure — don't
+            # climb the temperature ladder re-decoding a silent window
+            needs_fallback = False
         if not needs_fallback:
             break
     return result
@@ -241,7 +248,9 @@ def transcribe(
         )
         mel_in = jnp.asarray(mel_segment.T)  # [T, n_mels]
 
-        prompt = all_tokens[prompt_reset_since:] if condition_on_previous_text or initial_prompt else (initial_prompt_tokens or None)
+        # prompt_reset_since already sits past the initial prompt when
+        # conditioning is off, so the upstream slice covers every case
+        prompt = all_tokens[prompt_reset_since:]
         options = DecodingOptions(
             task=task,
             language=language,
@@ -253,7 +262,7 @@ def transcribe(
             mel_in,
             options,
             temperatures,
-            (compression_ratio_threshold, logprob_threshold),
+            (compression_ratio_threshold, logprob_threshold, no_speech_threshold),
         )
         tokens = np.asarray(result.tokens)
 
@@ -288,6 +297,10 @@ def transcribe(
         if word_timestamps:
             from whisperx_tpu.timing import add_word_timestamps
 
+            # the PREVIOUS window's last speech is the gap baseline for
+            # both word timing and the hallucination filter — it must be
+            # consulted BEFORE this window's words move it forward
+            prev_speech_timestamp = last_speech_timestamp
             add_word_timestamps(
                 segments=current_segments,
                 model=model,
@@ -296,22 +309,8 @@ def transcribe(
                 num_frames=segment_size,
                 prepend_punctuations=prepend_punctuations,
                 append_punctuations=append_punctuations,
-                last_speech_timestamp=last_speech_timestamp,
+                last_speech_timestamp=prev_speech_timestamp,
             )
-            if current_segments:
-                word_end_timestamps = [
-                    w["end"]
-                    for s in current_segments
-                    for w in s.get("words", [])
-                ]
-                if len(word_end_timestamps) > 0:
-                    last_speech_timestamp = word_end_timestamps[-1]
-                if not single_timestamp_ending and len(word_end_timestamps) > 0:
-                    seek_shift = round(
-                        (word_end_timestamps[-1] - time_offset) * FRAMES_PER_SECOND
-                    )
-                    if seek_shift > 0:
-                        seek = previous_seek + seek_shift
 
             if hallucination_silence_threshold is not None:
                 threshold = hallucination_silence_threshold
@@ -319,12 +318,27 @@ def transcribe(
                 for segment in current_segments:
                     if _seems_hallucination(segment):
                         gap_before = segment["start"] - (
-                            kept[-1]["end"] if kept else last_speech_timestamp
+                            kept[-1]["end"] if kept else prev_speech_timestamp
                         )
                         if gap_before > threshold:
                             continue
                     kept.append(segment)
                 current_segments = kept
+
+            # advance the baseline / seek from the SURVIVING segments only
+            word_end_timestamps = [
+                w["end"]
+                for s in current_segments
+                for w in s.get("words", [])
+            ]
+            if len(word_end_timestamps) > 0:
+                last_speech_timestamp = word_end_timestamps[-1]
+                if not single_timestamp_ending:
+                    seek_shift = round(
+                        (word_end_timestamps[-1] - time_offset) * FRAMES_PER_SECOND
+                    )
+                    if seek_shift > 0:
+                        seek = previous_seek + seek_shift
 
         if verbose:
             for segment in current_segments:
@@ -349,6 +363,8 @@ def transcribe(
             prompt_reset_since = len(all_tokens)
 
     all_segments = [s for s in all_segments if s["text"]]
+    for i, seg in enumerate(all_segments):  # keep ids contiguous post-filter
+        seg["id"] = i
     return {
         "text": "".join(s["text"] for s in all_segments),
         "segments": all_segments,

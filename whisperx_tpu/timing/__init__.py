@@ -96,13 +96,14 @@ def _alignment_from_capture(
     and ``cqk_row`` [L, H, T_row, 1500] must already be sliced to the
     row's true token length."""
     sot_len = len(tokenizer.sot_sequence)
-    # token probabilities under teacher forcing: positions predicting the
-    # text tokens + eot
-    sampled_logits = logits_row[sot_len:-1]
+    # token probabilities under teacher forcing — upstream restricts the
+    # softmax to text tokens (logits[:, :eot]); including EOT/timestamp
+    # columns (heavy near segment ends) would deflate every probability
+    sampled_logits = logits_row[sot_len:-1, : tokenizer.eot]
     probs = _softmax(sampled_logits)[
-        np.arange(len(text_tokens) + 1), list(text_tokens) + [tokenizer.eot]
+        np.arange(len(text_tokens)), list(text_tokens)
     ]
-    text_token_probs = probs[:-1].tolist()
+    text_token_probs = probs.tolist()
 
     heads = np.stack(
         [cqk_row[l, h] for l, h in model.alignment_heads]
@@ -329,7 +330,11 @@ def add_word_timestamps_batched(
             alignment,
             prepend_punctuations,
             append_punctuations,
-            0.0,
+            # word times are absolute (chunk offset applied); the chunk's
+            # own start is the no-previous-speech baseline — 0.0 would
+            # make the first-word duration-anomaly gate always fire for
+            # any chunk away from t=0
+            min(seg["start"] for seg in segs),
         )
 
 
