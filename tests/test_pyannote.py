@@ -113,3 +113,23 @@ def test_pyannote_converter_roundtrip(tmp_path):
     scores = forward(params, cfg, jnp.zeros((1, 16000), jnp.float32))
     assert scores.shape[2] == n_cls
     assert bool(jnp.isfinite(scores).all())
+
+
+def test_model_frame_scores_monotonic_aggregated(speech_5s):
+    """Overlapping sliding windows must be AGGREGATED onto one monotonic
+    frame grid before binarization (regression: per-window frames were
+    concatenated, handing Binarize duplicated non-monotonic timestamps)."""
+    params = init_params(TEST_CONFIG, jax.random.PRNGKey(0))
+    vad = PyannoteVAD()
+    vad._model = params
+    vad._cfg = TEST_CONFIG
+    audio = np.concatenate([speech_5s] * 6)  # 30 s → ~21 overlapping windows
+    scores, times = vad._frame_scores(audio)
+    assert len(scores) == len(times)
+    assert (np.diff(times) > 0).all(), "timestamps must be strictly increasing"
+    assert times[-1] <= len(audio) / 16000 + 0.5
+    assert scores.min() >= 0.0 and scores.max() <= 1.0
+    # and the full __call__ path produces ordered, in-range segments
+    segs = vad({"waveform": audio})
+    for s in segs:
+        assert 0.0 <= s.start < s.end <= len(audio) / 16000 + 1e-6

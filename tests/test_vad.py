@@ -122,3 +122,39 @@ def test_silero_without_checkpoint_warns_and_degrades(monkeypatch):
     with pytest.warns(UserWarning, match="energy"):
         m = load_vad_model("silero")
     assert isinstance(m, EnergyVAD)
+
+
+def test_energy_vad_noise_only_returns_no_speech():
+    """Purely relative percentile normalization used to classify the
+    louder half of room tone as speech; the absolute floor stops that."""
+    from whisperx_tpu.vad import EnergyVAD
+
+    rng = np.random.default_rng(0)
+    noise = (1e-4 * rng.standard_normal(16000 * 10)).astype(np.float32)
+    vad = EnergyVAD()
+    assert vad({"waveform": noise}) == []
+    # loud speech still detected
+    from tests.conftest import synth_speech
+
+    assert vad({"waveform": synth_speech(5.0)}) != []
+
+
+def test_energy_vad_device_path_pads_ragged_length():
+    """Device waveform not divisible by 512 must pad, not crash."""
+    import jax.numpy as jnp
+
+    from tests.conftest import synth_speech
+    from whisperx_tpu.vad import EnergyVAD
+
+    audio = synth_speech(0.5)[:8000]  # 8000 % 512 != 0
+    segs = EnergyVAD()({"waveform": jnp.asarray(audio), "length": 8000})
+    host = EnergyVAD()({"waveform": audio})
+    assert [(s.start, s.end) for s in segs] == [(s.start, s.end) for s in host]
+
+
+def test_hybrid_vad_exposes_backend_capabilities():
+    from whisperx_tpu.vad import HybridVAD
+
+    vad = HybridVAD(vad_onset=0.4)
+    assert vad.supports_device_audio is True
+    assert vad.vad_onset == 0.4

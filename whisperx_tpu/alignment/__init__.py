@@ -233,16 +233,18 @@ def align(
 
         char_spans = merge_repeats(path, matchable_text)
         duration = t2 - t1
-        ratio = duration / (trellis.shape[0] - 1)
+        # a sub-25 ms segment can yield a single-frame trellis; avoid /0
+        ratio = duration / max(trellis.shape[0] - 1, 1)
 
         # 3. char-level timestamps, tracked per original character index
         kept_idx = seg_meta[seg_i]["clean_cdx"]
+        span_by_char = dict(zip(kept_idx, char_spans))  # O(1) lookups
         char_rows = []
         word_i = 0
         for ch_i, char in enumerate(text):
             start = end = score = None
-            if ch_i in kept_idx:
-                cs = char_spans[kept_idx.index(ch_i)]
+            if ch_i in span_by_char:
+                cs = span_by_char[ch_i]
                 start = round(cs.start * ratio + t1, 3)
                 end = round(cs.end * ratio + t1, 3)
                 score = round(cs.score, 3)
@@ -329,11 +331,12 @@ def align(
             merged: List[dict] = []
             joiner = "" if model_lang in LANGUAGES_WITHOUT_SPACES else " "
             by_key = {}
+            def _bad(v):
+                return v is None or (isinstance(v, float) and np.isnan(v))
+
             for r in sub_rows:
-                if r["start"] is None or (
-                    isinstance(r["start"], float) and np.isnan(r["start"])
-                ):
-                    continue  # pandas groupby drops NaN keys
+                if _bad(r["start"]) or _bad(r["end"]):
+                    continue  # pandas groupby drops rows with ANY NaN key
                 key = (r["start"], r["end"])
                 if key in by_key:
                     g = by_key[key]

@@ -30,6 +30,12 @@ class HybridVAD:
         self.stats["calls"] += 1
         return self.backend(audio_dict, **options)
 
+    def __getattr__(self, name):
+        # expose the active backend's capabilities/config — without this,
+        # asr.py's getattr(vad, 'supports_device_audio', False) sees the
+        # wrapper and pulls device-resident audio back over the tunnel
+        return getattr(self.backend, name)
+
 
 def load_vad_model(
     method: str = "silero",

@@ -19,7 +19,14 @@ from whisperx_tpu.vad.types import SpeechSegment
 
 class BatchVADProcessor:
     def __init__(self, vad: SileroVAD | None = None, **vad_options):
-        self.vad = vad or SileroVAD(**vad_options)
+        if vad is None:
+            # route through the factory: a bare SileroVAD() would carry
+            # RANDOM LSTM weights and emit meaningless segments — the
+            # factory warns and falls back to the energy VAD instead
+            from whisperx_tpu.vad import load_vad_model
+
+            vad = load_vad_model("silero", **vad_options)
+        self.vad = vad
         self.stats: Dict[str, float] = {"files": 0, "batches": 0}
 
     def process_batch(
@@ -39,8 +46,15 @@ class BatchVADProcessor:
         )
         for i, a in enumerate(audios):
             batch[i, : len(a)] = np.asarray(a, np.float32)
-        windows = batch.reshape(len(audios), t_max, WINDOW_SIZE_SAMPLES)
-        probs = np.asarray(speech_probs(self.vad.params, jnp.asarray(windows)))
+        if hasattr(self.vad, "params"):  # real Silero weights
+            windows = batch.reshape(len(audios), t_max, WINDOW_SIZE_SAMPLES)
+            probs = np.asarray(
+                speech_probs(self.vad.params, jnp.asarray(windows))
+            )
+        else:  # energy-VAD fallback (per-window independent)
+            probs = np.stack(
+                [self.vad.speech_probs(row) for row in batch]
+            )
 
         results = []
         for i, n in enumerate(lengths):

@@ -20,6 +20,13 @@ from whisperx_tpu.models.silero_vad.model import WINDOW_SIZE_SAMPLES
 from whisperx_tpu.vad.silero import probs_to_speech_timestamps
 from whisperx_tpu.vad.types import SpeechSegment
 
+# Absolute floor (log10 mean-square of the pre-emphasized window) below
+# which a window is never speech: the percentile squash alone is purely
+# RELATIVE, so noise-only recordings would otherwise have their louder
+# half classified as speech. Speech at normal levels sits far above
+# (amplitude 0.05 → ≈ -2.6); room tone/fan noise sits below.
+ENERGY_FLOOR = -7.0
+
 
 def _masked_percentile(sorted_vals: jnp.ndarray, q: float, n_valid) -> jnp.ndarray:
     """np.percentile('linear') over the first n_valid entries of a sorted
@@ -48,6 +55,7 @@ def _energy_probs_jit(audio: jnp.ndarray, n_windows) -> jnp.ndarray:
     mid = 0.5 * (lo + hi)
     scale = 8.0 / jnp.maximum(hi - lo, 1e-3)
     probs = 1.0 / (1.0 + jnp.exp(-scale * (energy - mid)))
+    probs = jnp.where(energy < ENERGY_FLOOR, 0.0, probs)
     return jnp.where(hi - lo < 1e-3, 0.0, probs)
 
 
@@ -78,7 +86,8 @@ class EnergyVAD:
             return np.zeros(t, np.float32)
         mid = 0.5 * (lo + hi)
         scale = 8.0 / max(hi - lo, 1e-3)
-        return 1.0 / (1.0 + np.exp(-scale * (energy - mid)))
+        probs = 1.0 / (1.0 + np.exp(-scale * (energy - mid)))
+        return np.where(energy < ENERGY_FLOOR, 0.0, probs).astype(np.float32)
 
     def __call__(self, audio_dict, **options) -> List[SpeechSegment]:
         wav = audio_dict["waveform"]
@@ -86,6 +95,9 @@ class EnergyVAD:
             # device-resident path: probs computed on device, only the
             # tiny per-window prob vector crosses the tunnel
             n = int(audio_dict.get("length", wav.shape[0]))
+            pad = (-wav.shape[0]) % WINDOW_SIZE_SAMPLES
+            if pad:  # the jit requires window divisibility; pad on device
+                wav = jnp.pad(wav, (0, pad))
             t = -(-n // WINDOW_SIZE_SAMPLES)
             probs = np.asarray(_energy_probs_jit(wav, t))[:t]
         else:

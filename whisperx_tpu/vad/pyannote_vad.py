@@ -51,27 +51,46 @@ class PyannoteVAD:
 
             win = int(self.WINDOW_S * SAMPLE_RATE)
             step = int(self.STEP_S * SAMPLE_RATE)
-            frames, times = [], []
+            starts = []
+            chunks = []
             pos = 0
             while pos == 0 or pos + win // 2 < len(audio):
                 chunk = audio[pos : pos + win]
                 if len(chunk) < win:
                     chunk = np.pad(chunk, (0, win - len(chunk)))
-                scores = np.exp(
-                    np.asarray(forward(self._model, self._cfg, jnp.asarray(chunk)[None]))
-                )[0]
-                # P(speech) = 1 - P(silence class 0)
-                speech = 1.0 - scores[:, 0]
-                t_frame = self.WINDOW_S / len(speech)
-                for i, s in enumerate(speech):
-                    t = pos / SAMPLE_RATE + (i + 0.5) * t_frame
-                    if t <= (pos + win) / SAMPLE_RATE:
-                        frames.append(s)
-                        times.append(t)
+                starts.append(pos / SAMPLE_RATE)
+                chunks.append(chunk)
                 pos += step
                 if pos + win >= len(audio) + step:
                     break
-            return np.asarray(frames), np.asarray(times)
+            # ONE batched forward for every sliding window
+            scores = np.exp(
+                np.asarray(
+                    forward(
+                        self._model, self._cfg, jnp.asarray(np.stack(chunks))
+                    )
+                )
+            )
+            speech = 1.0 - scores[:, :, 0]  # P(speech) = 1 - P(silence)
+            # Overlapping windows (10 s stepped by 1 s) must be AGGREGATED
+            # onto one monotonic frame grid — feeding each window's frames
+            # sequentially would hand Binarize duplicated, non-monotonic
+            # timestamps (pyannote averages overlapping windows too).
+            n_f = speech.shape[1]
+            frame_dur = self.WINDOW_S / n_f
+            total = int(np.ceil(len(audio) / SAMPLE_RATE / frame_dur)) + 1
+            acc = np.zeros(total)
+            cover = np.zeros(total)
+            for start_s, row in zip(starts, speech):
+                f0 = int(round(start_s / frame_dur))
+                hi = min(f0 + n_f, total)
+                acc[f0:hi] += row[: hi - f0]
+                cover[f0:hi] += 1.0
+            valid = cover > 0
+            frames = acc[valid] / cover[valid]
+            times = (np.flatnonzero(valid) + 0.5) * frame_dur
+            keep = times <= len(audio) / SAMPLE_RATE + frame_dur
+            return frames[keep], times[keep]
 
         from whisperx_tpu.vad.energy import EnergyVAD
 
