@@ -267,3 +267,29 @@ def test_scaled_tail_dials_acceptance(nano_model):
     r1 = s1.decode_jit(mel, opts)
     assert r1.tokens == greedy.tokens  # exactness holds at ANY acceptance
     assert s1.stats.acceptance_rate < 1.0
+
+
+def test_full_acceptance_sustains_across_rounds(nano_model):
+    """Regression: the jitted loop never wrote the γ-th draft's K/V slot,
+    so after the FIRST full-acceptance round every later draft query
+    attended a zeroed cache slot and acceptance silently degraded. With an
+    exact self-draft, mismatches must be confined to the final
+    (EOT/cap-truncated) round."""
+    from whisperx_tpu.decoding.speculative import (
+        truncated_self_draft,
+        zero_tail_model,
+    )
+
+    target = zero_tail_model(nano_model, keep_layers=1)
+    draft = truncated_self_draft(target, 1)
+    mel = _mel(seed=21)
+    opts = DecodingOptions(language="en", sample_len=24)
+    greedy = decode(target, mel, opts)
+
+    spec = SpeculativeDecoder(target, draft, gamma=4)
+    res = spec.decode_jit(mel, opts)
+    assert res.tokens == greedy.tokens
+    s = spec.stats
+    assert s.proposed - s.accepted <= 2 * 4, (
+        f"acceptance degraded mid-decode: {s}"
+    )

@@ -635,7 +635,12 @@ class TranscriptionPipeline:
                         )
                     if spec is not None:
                         handles.append(
-                            (idxs, spec.decode_batch_dispatch(rows, opts))
+                            (
+                                idxs,
+                                spec.decode_batch_dispatch(
+                                    rows, opts, n_real=len(idxs)
+                                ),
+                            )
                         )
                     else:
                         handles.append(

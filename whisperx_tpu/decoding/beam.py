@@ -59,9 +59,18 @@ def _beam_decode_jit(params, mel, initial_tokens, cfg, beam_size: int):
     if getattr(cfg, "audio_is_features", False):
         audio_features = mel  # pre-encoded (shared with language detection)
     else:
-        audio_features = encoder_forward(params, mel, cfg.n_head)
+        # encoder heads, not decoder heads (equal for all stock whisper
+        # configs, but truncated/custom dims can differ)
+        audio_features = encoder_forward(
+            params, mel, cfg.n_head_audio or cfg.n_head
+        )
     cross_k, cross_v = precompute_cross_kv(params, audio_features, cfg.n_head)
-    # tile along batch for beams: per-layer [B, T, H, D] -> [B*K, T, H, D]
+    # tile along batch for beams: per-layer [B, T, H, D] -> [B*K, T, H, D].
+    # KNOWN COST: cross-K/V are identical across beams, so this multiplies
+    # the decode step's dominant HBM read by K; folding beams into the
+    # query axis (attend [B,K,H,Dh] queries against untiled [B,T,H,Dh]
+    # K/V) would remove it but needs a grouped cross-attention variant in
+    # the model — tracked in ROADMAP (beam is a non-default path).
     cross_k = tuple(jnp.repeat(x, k, axis=0) for x in cross_k)
     cross_v = tuple(jnp.repeat(x, k, axis=0) for x in cross_v)
     self_k, self_v = init_kv_cache_like(params, bk, cfg, n_init=n_init)

@@ -133,7 +133,9 @@ def _decode_jit(params, mel, initial_tokens, rng, temperature, cfg: _StaticConfi
     if cfg.audio_is_features:
         audio_features = mel  # pre-encoded [B, 1500, D]
     else:
-        audio_features = encoder_forward(params, mel, cfg.n_head)
+        audio_features = encoder_forward(
+            params, mel, cfg.n_head_audio or cfg.n_head
+        )
     cross_k, cross_v = precompute_cross_kv(params, audio_features, cfg.n_head)
     if cfg.kv_quant:
         from whisperx_tpu.models.whisper.model import quantize_kv
@@ -425,6 +427,7 @@ def decode_dispatch(
     blank = tuple(tokenizer.encode(" "))
     cfg = _StaticConfig(
         n_head=model.dims.n_text_head,
+        n_head_audio=model.dims.n_audio_head,
         n_text_ctx=n_ctx,
         eot=tokenizer.eot,
         sot_index=sot_index,
@@ -476,6 +479,14 @@ def decode_dispatch(
     if use_beam:
         from whisperx_tpu.decoding.beam import _beam_decode_jit
 
+        if options.patience is not None and options.patience != 1.0:
+            import warnings
+
+            warnings.warn(
+                "beam search ignores patience (candidates stop at "
+                "beam_size finished hypotheses); results may differ from "
+                "upstream whisper with patience != 1.0"
+            )
         beam_device = _beam_decode_jit(
             model.params,
             _shard_data(audio_in),

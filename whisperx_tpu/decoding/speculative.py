@@ -200,6 +200,11 @@ def _spec_loop(
         (_, _, d_c, _), draft_toks = jax.lax.scan(
             draft_step, (state, last_tok, d_c, pos), None, length=gamma
         )  # draft_toks: [gamma]
+        # also write d_gamma's K/V into the draft cache: a full acceptance
+        # (+bonus) advances past slot pos+gamma, and nothing else would
+        # ever write it — later draft queries would attend a zeroed slot
+        # forever, silently degrading acceptance (logits discarded)
+        _, d_c = d_forward(draft_toks[None, -1:], d_c, pos + gamma)
 
         # --- ONE target pass: repair slot + verify + bonus logits -------
         verify_in = jnp.concatenate([last_tok[:, None], draft_toks[None]], 1)
@@ -384,37 +389,9 @@ def zero_tail_model(model, keep_layers: int):
     acceptance = 1 (its upper bound) with random weights."""
     from whisperx_tpu.models.whisper import Whisper
 
-    def zeroed(lin):
-        out = dict(lin)
-        out["w"] = jnp.zeros_like(lin["w"])
-        if lin.get("b") is not None:
-            out["b"] = jnp.zeros_like(lin["b"])
-        return out
-
-    blocks = []
-    for i, blk in enumerate(model.params["decoder"]["blocks"]):
-        if i < keep_layers:
-            blocks.append(blk)
-            continue
-        nb = {k: v for k, v in blk.items()}
-        nb["attn"] = {**blk["attn"], "out": zeroed(blk["attn"]["out"])}
-        if "cross_attn" in nb:
-            nb["cross_attn"] = {
-                **blk["cross_attn"],
-                "out": zeroed(blk["cross_attn"]["out"]),
-            }
-        nb["mlp2"] = zeroed(blk["mlp2"])
-        blocks.append(nb)
-    dec = {**model.params["decoder"], "blocks": blocks}
-    params = {**model.params, "decoder": dec}
-    return Whisper(
-        model.dims,
-        params,
-        dtype=model.dtype,
-        name=f"{model.name}-zerotail{keep_layers}",
-        alignment_heads=model.alignment_heads,
-        vocab_path=model.vocab_path,
-    )
+    out = scaled_tail_model(model, keep_layers, 0.0)
+    out.name = f"{model.name}-zerotail{keep_layers}"
+    return out
 
 
 def scaled_tail_model(model, keep_layers: int, alpha: float):
@@ -519,6 +496,7 @@ class SpeculativeDecoder:
         mels: jnp.ndarray,  # [B, T, n_mels]
         options: DecodingOptions = DecodingOptions(),
         tokenizer=None,
+        n_real: Optional[int] = None,
     ) -> dict:
         """Launch the batched speculative decode (one jitted program per
         batch-size bucket) and return device handles without blocking —
@@ -546,6 +524,7 @@ class SpeculativeDecoder:
             "cfg": cfg,
             "language": options.language or "en",
             "temperature": options.temperature,
+            "n_real": b if n_real is None else int(n_real),
         }
 
     def decode_batch_finalize(self, handle: dict) -> list:
@@ -561,10 +540,13 @@ class SpeculativeDecoder:
         n = np.asarray(n)
         sum_lp = np.asarray(sum_lp)
         nsp = np.asarray(nsp)
+        # stats count REAL rows only — the pipeline zero-pads ragged
+        # groups, and padding rows would skew the acceptance rate
+        n_real = handle.get("n_real", buf.shape[0])
         prop_s, acc_s, tp_s = (
-            int(np.asarray(prop).sum()),
-            int(np.asarray(acc).sum()),
-            int(np.asarray(tp).sum()),
+            int(np.asarray(prop)[:n_real].sum()),
+            int(np.asarray(acc)[:n_real].sum()),
+            int(np.asarray(tp)[:n_real].sum()),
         )
         self.stats.proposed += prop_s
         self.stats.accepted += acc_s
@@ -655,50 +637,10 @@ class SpeculativeDecoder:
         options: DecodingOptions = DecodingOptions(),
         tokenizer=None,
     ) -> DecodingResult:
-        if tokenizer is None:
-            from whisperx_tpu.decoding.tokenizer import get_tokenizer
-
-            tokenizer = get_tokenizer(
-                self.target.is_multilingual,
-                num_languages=self.target.num_languages,
-                language=options.language or "en",
-                task=options.task,
-                vocab_path=self.target.vocab_path,
-            )
-
-        sample_len = options.sample_len or self.target.dims.n_text_ctx // 2
-        initial = _build_initial_tokens(
-            tokenizer, options,
-            n_text_ctx=self.target.dims.n_text_ctx,
-            sample_len=options.sample_len,
-        )
+        # one config builder for the eager and jitted paths — inline copies
+        # drifted (this one had dropped suppress_numerals and n_head_audio)
+        tokenizer, initial, cfg, d_cfg = self._configs(options, tokenizer)
         n_init = len(initial)
-        cfg = _StaticConfig(
-            n_head=self.target.dims.n_text_head,
-            n_text_ctx=self.target.dims.n_text_ctx,
-            eot=tokenizer.eot,
-            sot_index=initial.index(tokenizer.sot),
-            no_speech_token=tokenizer.no_speech,
-            timestamp_begin=tokenizer.timestamp_begin,
-            no_timestamps=tokenizer.no_timestamps,
-            sample_len=min(sample_len, self.target.dims.n_text_ctx - n_init),
-            max_initial_timestamp_index=(
-                round(options.max_initial_timestamp / 0.02)
-                if options.max_initial_timestamp is not None
-                else None
-            ),
-            suppress_blank=options.suppress_blank,
-            blank_tokens=tuple(tokenizer.encode(" "))
-            if options.suppress_blank
-            else (),
-            suppress=F.build_suppress_list(tokenizer, options.suppress_tokens),
-            without_timestamps=options.without_timestamps,
-            greedy=True,
-        )
-        d_cfg = _StaticConfig(
-            **{**cfg.__dict__, "n_head": self.draft.dims.n_text_head,
-               "n_text_ctx": self.draft.dims.n_text_ctx},
-        )
 
         mel_b = mel[None]
         t_feats = encoder_forward(
@@ -729,12 +671,15 @@ class SpeculativeDecoder:
         sum_logprob = 0.0
         state = F.init_filter_state(init_arr)
         last_target_logits = t_logits[:, -1]
+        d_last_logits = d_logits[:, -1]  # draft's next-step logits (local —
+        # instance state here would let concurrent decode() calls corrupt
+        # each other's draft stream)
 
         while len(tokens) < cfg.sample_len:
             # --- draft proposes gamma tokens -----------------------------
             draft_tokens = []
             d_state = state
-            d_last = d_logits[:, -1] if not tokens else self._d_last
+            d_last = d_last_logits
             cur = len(tokens)
             for g in range(self.gamma):
                 if cur + g >= cfg.sample_len:
@@ -807,7 +752,7 @@ class SpeculativeDecoder:
 
             # draft catches up on the accepted tail (also repairs its cache
             # at the mismatch position)
-            self._d_last, d_self = _step(
+            d_last_logits, d_self = _step(
                 self.draft.params,
                 jnp.asarray([[tokens[-1]]], jnp.int32),
                 d_self,
@@ -815,7 +760,7 @@ class SpeculativeDecoder:
                 jnp.int32(n_init + len(tokens) - 1),
                 d_cfg.n_head,
             )
-            self._d_last = self._d_last[:, -1]
+            d_last_logits = d_last_logits[:, -1]
 
             if accepted == len(draft_tokens) and tokens[-1] == draft_tokens[-1]:
                 # full acceptance: verify logits already give the next step

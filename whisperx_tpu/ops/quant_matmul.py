@@ -33,6 +33,22 @@ def _largest_tile(dim: int, preferred: int, quantum: int) -> int:
     return best
 
 
+def _k_tile(k: int, group_size: int) -> int | None:
+    """K tile: must divide k, satisfy the 128-lane constraint, AND be a
+    multiple of group_size so scale rows align with the sliced K chunks —
+    a tile that is merely a multiple of 128 would apply scales to
+    misaligned slices (silent numeric corruption). None = no legal tile
+    (caller falls back to the XLA path)."""
+    import math
+
+    quantum = math.lcm(128, group_size)
+    top = (512 // quantum) * quantum
+    for t in range(top, 0, -quantum):
+        if k % t == 0:
+            return t
+    return None
+
+
 def _int8_matmul_kernel(x_ref, qw_ref, scale_ref, out_ref, acc_ref, *, n_groups_per_k):
     """One (TM, TN) output tile; K-dim accumulated across grid axis 2.
 
@@ -74,7 +90,8 @@ def _quant_matmul_pallas_int8(x, qw, scale, group_size: int, interpret: bool = F
     # (multiple of 8, multiple of 128) or span the full array dimension.
     tm = _largest_tile(m, 256, 8) if m >= 8 else m
     tn = _largest_tile(n, 512, 128)
-    tk = _largest_tile(k, 512, max(128, group_size))
+    tk = _k_tile(k, group_size)
+    assert tk is not None, "dispatch must pre-check _k_tile"
     n_groups_per_k = tk // group_size
     n_groups = k // group_size
     scale3 = scale.reshape(n_groups, n)
@@ -143,6 +160,7 @@ def quant_matmul(x: jnp.ndarray, qp) -> jnp.ndarray:
         and qp.bits == 8
         and qp.qw.shape[1] % 128 == 0
         and k % qp.group_size == 0
+        and _k_tile(k, qp.group_size) is not None
     )
     if use_pallas:
         # pad M to sublane multiple

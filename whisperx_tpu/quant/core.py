@@ -71,6 +71,10 @@ def quantize_weight(w: np.ndarray, mode: str, group_size: int) -> dict:
     """
     d_in, d_out = w.shape
     assert d_in % group_size == 0, (d_in, group_size)
+    if mode == "int4" and group_size % 2 != 0:
+        raise ValueError(
+            f"int4 packs two nibbles per byte: group_size must be even, got {group_size}"
+        )
     g = d_in // group_size
     wg = np.asarray(w, np.float32).reshape(g, group_size, d_out)
     max_abs = np.abs(wg).max(axis=1, keepdims=True)  # [g, 1, out]
