@@ -200,3 +200,24 @@ def test_wav2vec2_hf_roundtrip(tmp_path):
     emissions = forward(params, cfg, jnp.zeros((1, 4000), jnp.float32))
     assert emissions.shape[0] == 1 and emissions.shape[2] == 32
     assert meta["dictionary"]["<pad>"] == 0
+
+
+def test_checkpoint_roundtrip_preserves_empty_containers(tmp_path):
+    """Empty lists/dicts must survive save→load (regression: flatten_tree
+    silently dropped them, so e.g. a PyanNet with zero linear layers lost
+    its 'linear' key and forward raised KeyError)."""
+    from whisperx_tpu.convert.checkpoint import load_checkpoint, save_checkpoint
+
+    params = {
+        "a": np.ones((2, 2), np.float32),
+        "linear": [],
+        "empty_cfg": {},
+        "nested": {"items": [], "w": np.zeros(3, np.float32)},
+    }
+    out = str(tmp_path / "ckpt")
+    save_checkpoint(out, params, {"family": "test"})
+    loaded, _ = load_checkpoint(out)
+    assert loaded["linear"] == []
+    assert loaded["empty_cfg"] == {}
+    assert loaded["nested"]["items"] == []
+    assert loaded["nested"]["w"].shape == (3,)

@@ -72,6 +72,8 @@ def test_pyannote_converter_roundtrip(tmp_path):
         "sincnet.conv1d.0.band_hz_": t(8, 1),
         "sincnet.norm1d.0.weight": t(8),
         "sincnet.norm1d.0.bias": t(8),
+        "sincnet.wav_norm1d.weight": t(1),
+        "sincnet.wav_norm1d.bias": t(1),
         "sincnet.conv1d.1.weight": t(8, 8, 5),
         "sincnet.norm1d.1.weight": t(8),
         "sincnet.norm1d.1.bias": t(8),

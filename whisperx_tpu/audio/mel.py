@@ -219,6 +219,9 @@ def log_mel_batch(
                 ]
             )
         parts.append(_log_mel_batch_jit(jnp.asarray(part, jnp.float32), n_mels))
+    if not parts:  # empty batch: [0, T, n_mels], not an IndexError
+        frames = audio.shape[1] // HOP_LENGTH if audio.ndim > 1 else 0
+        return jnp.zeros((0, frames, n_mels), jnp.float32)
     out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     return out[:n]
 

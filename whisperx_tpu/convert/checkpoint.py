@@ -20,6 +20,8 @@ import numpy as np
 
 
 _QUANT_MARKER = "__quantized_linear__"
+_EMPTY_DICT = "__empty_dict__"
+_EMPTY_LIST = "__empty_list__"
 
 
 def _to_numpy(x) -> np.ndarray:
@@ -35,9 +37,13 @@ def _to_numpy(x) -> np.ndarray:
 def flatten_tree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
     flat: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
+        if not tree and prefix:  # empty containers must survive round-trip
+            flat[f"{prefix[:-1]}{_EMPTY_DICT}"] = np.zeros(0, np.int8)
         for k, v in tree.items():
             flat.update(flatten_tree(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
+        if not tree and prefix:
+            flat[f"{prefix[:-1]}{_EMPTY_LIST}"] = np.zeros(0, np.int8)
         for i, v in enumerate(tree):
             flat.update(flatten_tree(v, f"{prefix}{i}/"))
     elif type(tree).__name__ == "QuantizedLinear":
@@ -77,7 +83,15 @@ def unflatten_tree(flat: Dict[str, np.ndarray]):
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
             return [listify(node[str(i)]) for i in range(len(keys))]
-        return {k: listify(v) for k, v in node.items()}
+        out = {}
+        for k, v in node.items():
+            if k.endswith(_EMPTY_DICT):
+                out[k[: -len(_EMPTY_DICT)]] = {}
+            elif k.endswith(_EMPTY_LIST):
+                out[k[: -len(_EMPTY_LIST)]] = []
+            else:
+                out[k] = listify(v)
+        return out
 
     return listify(root)
 

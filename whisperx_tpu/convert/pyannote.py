@@ -76,6 +76,14 @@ def convert_pyannote_segmentation(
         return {"g": sd[f"{prefix}.weight"], "b": sd[f"{prefix}.bias"]}
 
     # --- SincNet stack -----------------------------------------------------
+    # input waveform instance-norm (affine, 1 channel) — applied BEFORE the
+    # sinc conv in pyannote's SincNet.forward (identity affine if a
+    # checkpoint variant lacks it; the normalization itself always runs)
+    wav_norm = (
+        ln("sincnet.wav_norm1d")
+        if "sincnet.wav_norm1d.weight" in sd
+        else {"g": np.ones(1, np.float32), "b": np.zeros(1, np.float32)}
+    )
     convs = []
     sinc_w = materialize_sinc_filters(
         sd["sincnet.conv1d.0.low_hz_"],
@@ -134,6 +142,7 @@ def convert_pyannote_segmentation(
     )
 
     params = {
+        "wav_norm": wav_norm,
         "sincnet": convs,
         "lstm": lstms,
         "linear": linears,

@@ -100,19 +100,18 @@ def convert_silero_torch(out: str, repo: str = "snakers4/silero-vad") -> None:
 
     model, _ = torch.hub.load(repo, "silero_vad", onnx=False, trust_repo=True)
     sd = {k: v.numpy() for k, v in model.state_dict().items()}
-    lstm_keys = sorted(
-        {k.rsplit(".", 1)[0] for k in sd if "weight_ih" in k}
-    )
+    # one entry per weight_ih KEY (covers both `...rnn.weight_ih` LSTMCell
+    # naming and `lstm.weight_ih_l{N}` nn.LSTM naming — replacing inside
+    # the full key keeps the layer suffix intact); sorted = layer order
+    ih_keys = sorted(k for k in sd if "weight_ih" in k)
     layers = []
-    for base in lstm_keys:
-        prefix = base.rsplit(".", 1)[0]
-        suffix = base.rsplit(".", 1)[1] if "." in base else ""
+    for k in ih_keys:
         layers.append(
             _torch_lstm_to_ours(
-                sd[f"{base}.weight_ih" if "" else base],
-                sd[base.replace("weight_ih", "weight_hh")],
-                sd.get(base.replace("weight_ih", "bias_ih")),
-                sd.get(base.replace("weight_ih", "bias_hh")),
+                sd[k],
+                sd[k.replace("weight_ih", "weight_hh")],
+                sd.get(k.replace("weight_ih", "bias_ih")),
+                sd.get(k.replace("weight_ih", "bias_hh")),
             )
         )
     head_w = next(

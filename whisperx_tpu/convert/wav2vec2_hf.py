@@ -75,20 +75,33 @@ def convert_hf_wav2vec2(src: str, out: str, name: Optional[str] = None) -> None:
                 sd[f"feature_extractor.conv_layers.{i}.conv.weight"].transpose(2, 1, 0)
             )
         }
+        # conv_bias=True on the large/lv60/xlsr family
+        bias = sd.get(f"feature_extractor.conv_layers.{i}.conv.bias")
+        if bias is not None:
+            conv["b"] = bias
         if cfg.feat_extract_norm == "layer":
             conv["ln"] = ln(f"feature_extractor.conv_layers.{i}.layer_norm")
         elif i == 0:
             conv["gn"] = ln(f"feature_extractor.conv_layers.{i}.layer_norm")
         convs.append(conv)
 
-    # positional conv uses torch weight-norm: weight = g * v / ||v||
-    if "encoder.pos_conv_embed.conv.weight_g" in sd:
-        g = sd["encoder.pos_conv_embed.conv.weight_g"]
-        v = sd["encoder.pos_conv_embed.conv.weight_v"]
+    # positional conv uses torch weight-norm: weight = g * v / ||v||.
+    # Key layout depends on the torch version that saved the checkpoint:
+    # classic weight_g/weight_v, new parametrizations.original0/original1,
+    # or a materialized plain weight.
+    _pc = "encoder.pos_conv_embed.conv"
+    if f"{_pc}.weight_g" in sd:
+        g, v = sd[f"{_pc}.weight_g"], sd[f"{_pc}.weight_v"]
+    elif f"{_pc}.parametrizations.weight.original0" in sd:
+        g = sd[f"{_pc}.parametrizations.weight.original0"]
+        v = sd[f"{_pc}.parametrizations.weight.original1"]
+    else:
+        g = v = None
+    if g is not None:
         norm = np.linalg.norm(v, axis=(0, 1), keepdims=True)
         pos_w = g * v / (norm + 1e-12)
     else:
-        pos_w = sd["encoder.pos_conv_embed.conv.weight"]
+        pos_w = sd[f"{_pc}.weight"]
     # torch grouped conv [O, I/groups, W] → ours [W, I/groups, O]
     pos_w = np.ascontiguousarray(pos_w.transpose(2, 1, 0))
 
@@ -161,8 +174,7 @@ def convert_torchaudio_wav2vec2(bundle_name: str, out: str) -> None:
     mapped = {}
     for k, v in sd.items():
         nk = (
-            k.replace("feature_extractor.conv_layers", "feature_extractor.conv_layers")
-            .replace("encoder.feature_projection", "feature_projection")
+            k.replace("encoder.feature_projection", "feature_projection")
             .replace("encoder.transformer.pos_conv_embed", "encoder.pos_conv_embed")
             .replace("encoder.transformer.layer_norm", "encoder.layer_norm")
             .replace("encoder.transformer.layers", "encoder.layers")
@@ -173,30 +185,72 @@ def convert_torchaudio_wav2vec2(bundle_name: str, out: str) -> None:
     import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
-        # reuse the HF path by materializing a synthetic checkpoint
+        # reuse the HF path by materializing a synthetic checkpoint; every
+        # hyperparameter is DERIVED from the state dict so large/lv60
+        # bundles convert correctly, not just the base family
+        hidden = mapped["feature_projection.projection.weight"].shape[0]
+        n_layers = len(
+            {k.split(".")[2] for k in mapped if k.startswith("encoder.layers.")}
+        )
+        conv_ws = [
+            mapped[f"feature_extractor.conv_layers.{i}.conv.weight"]
+            for i in range(
+                len(
+                    {
+                        k.split(".")[2]
+                        for k in mapped
+                        if k.startswith("feature_extractor.conv_layers.")
+                    }
+                )
+            )
+        ]
+        # torchaudio conv weights are [O, I, W]
+        conv_dim = [w.shape[0] for w in conv_ws]
+        conv_kernel = [w.shape[2] for w in conv_ws]
+        # strides are architectural, not recoverable from weights; every
+        # published wav2vec2 uses this schedule for 7 conv layers
+        conv_stride = [5] + [2] * (len(conv_ws) - 1)
+        # lv60/large: per-layer conv LN + pre-LN transformer; the telltale
+        # is a layer_norm on conv layer 1+ (group-norm models have only
+        # conv 0's norm)
+        has_conv_ln = (
+            "feature_extractor.conv_layers.1.layer_norm.weight" in mapped
+        )
+        pos_w_key = next(
+            (
+                k
+                for k in (
+                    "encoder.pos_conv_embed.conv.weight_v",
+                    "encoder.pos_conv_embed.conv.parametrizations.weight.original1",
+                    "encoder.pos_conv_embed.conv.weight",
+                )
+                if k in mapped
+            ),
+        )
+        pos_w = mapped[pos_w_key]  # [O, I/groups, W]
         cfg = {
             "vocab_size": len(labels),
-            "hidden_size": mapped["feature_projection.projection.weight"].shape[0],
-            "num_hidden_layers": len(
-                {k.split(".")[2] for k in mapped if k.startswith("encoder.layers.")}
-            ),
-            "num_attention_heads": 12,
+            "hidden_size": hidden,
+            "num_hidden_layers": n_layers,
+            # heads: 12 per 768 hidden across the published family
+            # (base 768/12, large 1024/16)
+            "num_attention_heads": max(1, hidden // 64),
             "intermediate_size": mapped[
                 "encoder.layers.0.feed_forward.intermediate_dense.weight"
             ].shape[0],
-            "conv_dim": [512] * 7,
-            "conv_kernel": [10, 3, 3, 3, 3, 2, 2],
-            "conv_stride": [5, 2, 2, 2, 2, 2, 2],
-            "num_conv_pos_embeddings": 128,
-            "num_conv_pos_embedding_groups": 16,
-            "do_stable_layer_norm": False,
-            "feat_extract_norm": "group",
+            "conv_dim": conv_dim,
+            "conv_kernel": conv_kernel,
+            "conv_stride": conv_stride,
+            "num_conv_pos_embeddings": pos_w.shape[2],
+            "num_conv_pos_embedding_groups": hidden // pos_w.shape[1],
+            "do_stable_layer_norm": has_conv_ln,
+            "feat_extract_norm": "layer" if has_conv_ln else "group",
+            "conv_bias": "feature_extractor.conv_layers.0.conv.bias" in mapped,
         }
         with open(os.path.join(tmp, "config.json"), "w") as f:
             json.dump(cfg, f)
         with open(os.path.join(tmp, "vocab.json"), "w") as f:
             json.dump({c.lower(): i for i, c in enumerate(labels)}, f)
-        np.savez(os.path.join(tmp, "np_state.npz"), **mapped)
         # write through safetensors if available, else pickle via torch
         try:
             from safetensors.numpy import save_file

@@ -78,6 +78,7 @@ def init_params(cfg: PyanNetConfig, key: jax.Array, dtype=jnp.float32) -> Dict:
         d = out
 
     return {
+        "wav_norm": {"g": jnp.ones((1,), dtype), "b": jnp.zeros((1,), dtype)},
         "sincnet": convs,
         "lstm": lstms,
         "linear": linears,
@@ -115,7 +116,14 @@ def _lstm_dir(p, xs, reverse: bool):
 def forward(params: Dict, cfg: PyanNetConfig, audio: jnp.ndarray) -> jnp.ndarray:
     """audio [B, samples] → frame log-scores [B, frames, num_classes]."""
     x = audio[:, :, None]  # [B, T, 1]
-    for conv, stride in zip(params["sincnet"], cfg.sincnet_strides):
+    if "wav_norm" in params:
+        # pyannote SincNet first instance-norms the raw waveform
+        # (wav_norm1d) — without it a converted checkpoint sees arbitrary
+        # input gain and the powerset activations diverge
+        x = _instance_norm(params["wav_norm"], x)
+    for ci, (conv, stride) in enumerate(
+        zip(params["sincnet"], cfg.sincnet_strides)
+    ):
         x = jax.lax.conv_general_dilated(
             x,
             conv["w"].astype(x.dtype),
@@ -123,7 +131,8 @@ def forward(params: Dict, cfg: PyanNetConfig, audio: jnp.ndarray) -> jnp.ndarray
             padding="VALID",
             dimension_numbers=("NHC", "HIO", "NHC"),
         )
-        x = jnp.abs(x)
+        if ci == 0:  # pyannote applies abs to the sinc layer ONLY
+            x = jnp.abs(x)
         # max-pool over time
         x = jax.lax.reduce_window(
             x,

@@ -76,13 +76,16 @@ def _lin(key, d_in, d_out, dtype):
 
 
 def init_params(cfg: Wav2Vec2Config, key: jax.Array, dtype=jnp.float32) -> Dict:
-    keys = jax.random.split(key, 10 + cfg.num_layers)
+    n_convs = len(cfg.conv_dim)
+    keys = jax.random.split(key, 10 + n_convs + cfg.num_layers)
     convs = []
     d_in = 1
     for i, (d_out, k) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel)):
         conv = {
+            # per-layer key: same-shaped layers must not share weights
             "w": (
-                jax.random.normal(keys[0], (k, d_in, d_out)) / math.sqrt(k * d_in)
+                jax.random.normal(keys[10 + i], (k, d_in, d_out))
+                / math.sqrt(k * d_in)
             ).astype(dtype)
         }
         if cfg.feat_extract_norm == "layer":
@@ -95,7 +98,7 @@ def init_params(cfg: Wav2Vec2Config, key: jax.Array, dtype=jnp.float32) -> Dict:
     d = cfg.hidden_size
     layers = []
     for i in range(cfg.num_layers):
-        lk = jax.random.split(keys[10 + i], 6)
+        lk = jax.random.split(keys[10 + n_convs + i], 6)
         layers.append(
             {
                 "attn": {
@@ -168,6 +171,8 @@ def feature_extractor(params, cfg: Wav2Vec2Config, audio: jnp.ndarray) -> jnp.nd
             padding="VALID",
             dimension_numbers=("NHC", "HIO", "NHC"),
         )
+        if conv.get("b") is not None:  # conv_bias=True (large/lv60/xlsr)
+            x = x + conv["b"].astype(x.dtype)
         if "ln" in conv:
             x = _layer_norm(conv["ln"], x)
         elif "gn" in conv:
