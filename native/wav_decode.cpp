@@ -107,6 +107,10 @@ void wxt_free(float* buf) { std::free(buf); }
 long wxt_resample(const float* in, long n, int sr_in, int sr_out, float** out) {
   std::vector<float> input(in, in + n);
   std::vector<float> res = resample(input, sr_in, sr_out);
+  if (res.empty()) {  // malloc(0) may return NULL — that is not an error
+    *out = nullptr;
+    return 0;
+  }
   *out = static_cast<float*>(std::malloc(res.size() * sizeof(float)));
   if (!*out) return kErrAlloc;
   std::memcpy(*out, res.data(), res.size() * sizeof(float));
@@ -132,6 +136,9 @@ long wxt_decode_wav(const char* path, int target_sr, float** out) {
     uint32_t size = r.u32();
     if (!r.ok) break;
     if (id == 0x20746d66u) {  // "fmt "
+      // the 16 field bytes below are read unconditionally: a declared
+      // size < 16 would desynchronize the chunk walk into raw data
+      if (size < 16) { fclose(f); return kErrFormat; }
       fmt = r.u16();
       channels = r.u16();
       sr = r.u32();
@@ -200,6 +207,10 @@ long wxt_decode_wav(const char* path, int target_sr, float** out) {
 
   std::vector<float> final_samples =
       (int(sr) == target_sr) ? samples : resample(samples, int(sr), target_sr);
+  if (final_samples.empty()) {  // 0-byte data chunk: empty result, not an error
+    *out = nullptr;
+    return 0;
+  }
   *out = static_cast<float*>(std::malloc(final_samples.size() * sizeof(float)));
   if (!*out) return kErrAlloc;
   std::memcpy(*out, final_samples.data(), final_samples.size() * sizeof(float));

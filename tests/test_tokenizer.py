@@ -66,3 +66,48 @@ def test_non_speech_tokens_nonempty():
     tok = get_tokenizer(True, language="en")
     assert len(tok.non_speech_tokens) > 0
     assert all(t < tok.eot for t in tok.non_speech_tokens)
+
+
+def test_language_normalized_on_construction():
+    """'japanese' must store as 'ja' so CJK word splitting engages."""
+    from whisperx_tpu.decoding import get_tokenizer
+
+    tok = get_tokenizer(True, language="japanese")
+    assert tok.language == "ja"
+
+
+def test_partial_vocab_never_suppresses_space():
+    """non_speech_tokens with the partial vocab must not contain the bare
+    space token (regression: ' -'/' '' greedy-split to [space, ...] and
+    t[0] banned token 220 while missing the real annotation tokens)."""
+    from whisperx_tpu.decoding import get_tokenizer
+
+    tok = get_tokenizer(True, language="en", vocab_path="gold-partial")
+    space = tok.encode(" ")
+    assert len(space) == 1
+    assert space[0] not in tok.non_speech_tokens
+
+
+def test_missing_vocab_path_raises():
+    import pytest
+
+    from whisperx_tpu.decoding import get_tokenizer
+
+    with pytest.raises(FileNotFoundError):
+        get_tokenizer(True, language="en", vocab_path="/nonexistent/v.tiktoken")
+
+
+def test_partial_vocab_uncovered_byte_raises(tmp_path):
+    """A user JSON vocab missing byte coverage must error, not hang."""
+    import json
+
+    import pytest
+
+    from whisperx_tpu.decoding.tokenizer import PartialVocab
+
+    p = tmp_path / "v.json"
+    p.write_text(json.dumps({"0": "a"}))  # only 'a' covered
+    v = PartialVocab(str(p), 50257)
+    assert v.encode("a") == [0]
+    with pytest.raises(ValueError):
+        v.encode("b")

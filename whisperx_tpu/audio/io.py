@@ -100,7 +100,11 @@ def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
     if not os.path.exists(file):
         raise FileNotFoundError(f"Audio file not found: {file!r}")
     if file.endswith(".npy"):
-        return np.load(file).astype(np.float32)
+        # fixture path: assumed already at ``sr``; downmix multi-channel
+        arr = np.load(file).astype(np.float32)
+        if arr.ndim == 2:  # [n, channels] or [channels, n]
+            arr = arr.mean(axis=1 if arr.shape[1] < arr.shape[0] else 0)
+        return arr.reshape(-1)
     if _FFMPEG is not None:
         return _load_ffmpeg(file, sr)
     if file.lower().endswith((".wav", ".wave")):

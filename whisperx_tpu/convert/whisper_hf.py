@@ -109,9 +109,10 @@ def convert_hf_whisper(src: str, out: str, name: Optional[str] = None) -> None:
         "encoder": {
             "conv1": _conv(sd, "encoder.conv1"),
             "conv2": _conv(sd, "encoder.conv2"),
-            "pos_emb": sd.get(
-                "encoder.embed_positions.weight",
-                sinusoids(dims.n_audio_ctx, dims.n_audio_state),
+            "pos_emb": (
+                sd["encoder.embed_positions.weight"]
+                if "encoder.embed_positions.weight" in sd
+                else sinusoids(dims.n_audio_ctx, dims.n_audio_state)
             ),
             "blocks": [
                 block(f"encoder.layers.{i}", cross=False)

@@ -72,6 +72,14 @@ class PartialVocab:
                     out.append(tid)
                     i += ln
                     break
+            else:  # no token matched — a vocab missing byte coverage must
+                # error, not spin forever (the shipped gold vocab covers
+                # all 256 single bytes; arbitrary user JSON may not)
+                raise ValueError(
+                    f"vocab has no token for byte 0x{data[i]:02x} at "
+                    f"position {i}; partial vocabularies must cover all "
+                    "single bytes"
+                )
         return out
 
     def decode(self, tokens: Sequence[int]) -> str:
@@ -148,9 +156,13 @@ class Tokenizer:
         self.no_timestamps = self.no_speech + 1
         self.timestamp_begin = self.no_timestamps + 1
 
+        # store the NORMALIZED code ("japanese" → "ja"): word splitting and
+        # every other consumer compares against codes
+        if self.language is not None:
+            self.language = normalize_language(self.language)
         seq = [self.sot]
         if self.multilingual:
-            lang = normalize_language(self.language) or "en"
+            lang = self.language or "en"
             seq.append(self.to_language_token(lang))
             seq.append(self.transcribe if self.task != "translate" else self.translate)
         self.sot_sequence = tuple(seq)
@@ -214,13 +226,18 @@ class Tokenizer:
         miscellaneous = set("♩♪♫♬♭♮♯")
 
         result = set()
+        # upstream adds " -"/" '" only when they encode to a SINGLE token;
+        # with a partial vocab they greedy-split to [space, ...] and adding
+        # t[0] would wrongly suppress the bare space token
         for t in [self.encode(" -"), self.encode(" '")]:
-            if t:
+            if len(t) == 1:
                 result.add(t[0])
+        space = self.encode(" ")
+        space_id = space[0] if len(space) == 1 else None
         for symbol in symbols + list(miscellaneous):
             for tokens in [self.encode(symbol), self.encode(" " + symbol)]:
-                if len(tokens) == 1 or symbol in miscellaneous:
-                    if tokens:
+                if tokens and (len(tokens) == 1 or symbol in miscellaneous):
+                    if tokens[0] != space_id:  # never ban the space token
                         result.add(tokens[0])
         return tuple(sorted(result))
 
@@ -316,7 +333,14 @@ def _cached_tokenizer(
             language=language,
             task=task,
         )
-    if vocab_path and os.path.exists(vocab_path):
+    if vocab_path and not os.path.exists(vocab_path):
+        # a configured-but-missing path must fail loudly, not silently
+        # decode byte soup for the whole session
+        raise FileNotFoundError(
+            f"vocab file {vocab_path!r} (from WHISPERX_TPU_VOCAB or the "
+            "model checkpoint) does not exist"
+        )
+    if vocab_path:
         if vocab_path.endswith(".json"):
             vocab = PartialVocab(vocab_path, n_base)
         else:

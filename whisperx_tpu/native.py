@@ -22,11 +22,21 @@ _SO = os.path.join(os.path.dirname(_SRC), "libwxtaudio.so") if os.path.isdir(os.
 
 
 def _build(src: str, so_path: str) -> None:
+    # compile to a temp file and atomically replace: a concurrent process
+    # must never dlopen a partially written shared object
+    tmp = f"{so_path}.build.{os.getpid()}"
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-o", so_path, src],
+        ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, src],
         check=True,
         capture_output=True,
     )
+    os.replace(tmp, so_path)
+
+
+def _fresh(so_path: str) -> bool:
+    return os.path.exists(so_path) and os.path.getmtime(
+        so_path
+    ) >= os.path.getmtime(_SRC)
 
 
 def _get_lib():
@@ -36,17 +46,18 @@ def _get_lib():
             return _lib
         if not os.path.exists(_SRC):
             raise RuntimeError("native source not found")
+        cache_so = os.path.join(
+            os.path.expanduser("~/.cache/whisperx_tpu"), "libwxtaudio.so"
+        )
         so_path = _SO
-        if so_path is None or (
-            not os.path.exists(so_path)
-            or os.path.getmtime(so_path) < os.path.getmtime(_SRC)
-        ):
+        if so_path is None or not _fresh(so_path):
             if so_path is None or not os.access(os.path.dirname(so_path), os.W_OK):
-                so_path = os.path.join(
-                    os.path.expanduser("~/.cache/whisperx_tpu"), "libwxtaudio.so"
-                )
+                # read-only install: reuse a fresh cached build before
+                # re-invoking g++ (once per process otherwise)
+                so_path = cache_so
                 os.makedirs(os.path.dirname(so_path), exist_ok=True)
-            _build(_SRC, so_path)
+            if not _fresh(so_path):
+                _build(_SRC, so_path)
         lib = ctypes.CDLL(so_path)
         lib.wxt_decode_wav.restype = ctypes.c_long
         lib.wxt_decode_wav.argtypes = [
@@ -74,6 +85,8 @@ def decode_wav_file(path: str, target_sr: int = 16000) -> np.ndarray:
     n = lib.wxt_decode_wav(path.encode(), target_sr, ctypes.byref(out))
     if n < 0:
         raise RuntimeError(f"native WAV decode failed (code {n}) for {path}")
+    if n == 0:  # empty result: out may be NULL
+        return np.zeros(0, np.float32)
     try:
         return np.ctypeslib.as_array(out, shape=(n,)).copy()
     finally:
@@ -94,6 +107,8 @@ def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     )
     if n < 0:
         raise RuntimeError(f"native resample failed (code {n})")
+    if n == 0:  # empty result: out may be NULL
+        return np.zeros(0, np.float32)
     try:
         return np.ctypeslib.as_array(out, shape=(n,)).copy()
     finally:
