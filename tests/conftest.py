@@ -21,6 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Hermetic tests exercise align() with random-weight wav2vec2 models on
+# purpose; the production guard (alignment/__init__.py) would skip them.
+os.environ.setdefault("WHISPERX_TPU_ALLOW_RANDOM_ALIGN", "1")
+
 import jax
 
 jax.config.update("jax_platforms", _platform)

@@ -145,3 +145,22 @@ def test_random_weight_fallback_is_flagged():
         _w.simplefilter("ignore")
         _, metadata = load_align_model("en")
     assert metadata["random_weights"] is True
+
+
+def test_align_refuses_random_weights_by_default(speech_5s, monkeypatch):
+    """Without the env escape hatch, align() with a random-weight model
+    returns the transcript UNALIGNED (empty words) — the guard now lives
+    at the alignment layer so every entry point (CLI reloads,
+    UnifiedPipeline, library callers) inherits it."""
+    monkeypatch.delenv("WHISPERX_TPU_ALLOW_RANDOM_ALIGN", raising=False)
+    model, metadata = load_align_model("en")
+    assert metadata["random_weights"] is True
+    transcript = [{"start": 0.5, "end": 2.0, "text": "hello there"}]
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        result = align(transcript, model, metadata, speech_5s, "cpu")
+    assert result["segments"][0]["words"] == []
+    assert result["word_segments"] == []
+    assert any("RANDOM weights" in str(r.message) for r in rec)

@@ -115,6 +115,27 @@ def align(
 
     API and behavior parity: reference alignment.py:113-380.
     """
+    import os as _os
+
+    transcript = list(transcript)
+    if align_model_metadata.get("random_weights") and not _os.environ.get(
+        "WHISPERX_TPU_ALLOW_RANDOM_ALIGN"
+    ):
+        # The guard lives HERE so every entry point (CLI, UnifiedPipeline,
+        # library callers, per-language reloads) refuses random-weight
+        # timings — garbage word times are worse than none.
+        import warnings
+
+        warnings.warn(
+            "Skipping alignment: the wav2vec2 model has RANDOM weights "
+            f"(no converted checkpoint for {align_model_metadata.get('language')!r}). "
+            "Convert one with whisperx_tpu.convert, or set "
+            "WHISPERX_TPU_ALLOW_RANDOM_ALIGN=1 to force."
+        )
+        return {
+            "segments": [dict(seg, words=[]) for seg in transcript],
+            "word_segments": [],
+        }
     if isinstance(audio, str):
         from whisperx_tpu.audio import load_audio
 

@@ -37,6 +37,12 @@ class BatchProcessor:
         overlap_duration: float = 0.5,
         batch_size: int = 8,
     ):
+        if overlap_duration >= chunk_duration:
+            raise ValueError(
+                f"overlap_duration ({overlap_duration}) must be smaller than "
+                f"chunk_duration ({chunk_duration}) — the chunk walk would "
+                "never advance"
+            )
         self.chunk_duration = chunk_duration
         self.overlap_duration = overlap_duration
         self.batch_size = batch_size

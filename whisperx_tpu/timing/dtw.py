@@ -50,7 +50,19 @@ def dtw(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """
     x = np.asarray(x, np.float32)
     n, m = x.shape
-    cost = np.asarray(_dtw_cost(jnp.asarray(x)), np.float32)
+    # Bucket both dims so the jitted recursion compiles once per bucket
+    # pair instead of once per (n_tokens, n_frames) — a per-segment
+    # compile storm on long word-timestamp runs. Right/bottom padding is
+    # sound by construction: cost[i, j] depends only on the top-left
+    # submatrix, so cost[:n+1, :m+1] is identical to the unpadded result.
+    n_pad = -(-n // 32) * 32
+    m_pad = -(-m // 256) * 256
+    if (n_pad, m_pad) != (n, m):
+        xp = np.zeros((n_pad, m_pad), np.float32)
+        xp[:n, :m] = x
+    else:
+        xp = x
+    cost = np.asarray(_dtw_cost(jnp.asarray(xp)), np.float32)[: n + 1, : m + 1]
 
     i, j = n, m
     text_indices, time_indices = [], []

@@ -154,25 +154,28 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
     try:
         import jax
 
-        if jax.process_count() > 1:
-            # multi-host: whole files shard over DCN (parallel/multihost.py);
-            # each host transcribes + writes its own slice with its local mesh
-            from whisperx_tpu.parallel import shard_files
+        multi_host = jax.process_count() > 1
+    except Exception:  # only jax/backend unavailability is recoverable
+        multi_host = False
+    if multi_host:
+        # multi-host: whole files shard over DCN (parallel/multihost.py);
+        # each host transcribes + writes its own slice with its local mesh
+        from whisperx_tpu.parallel import shard_files
 
-            total = len(audio_paths)
-            audio_paths = shard_files(audio_paths)
-            print(
-                f">>Host {jax.process_index()}/{jax.process_count()}: "
-                f"{len(audio_paths)} of {total} files"
-            )
-    except Exception:
-        pass
+        total = len(audio_paths)
+        audio_paths = shard_files(audio_paths)
+        print(
+            f">>Host {jax.process_index()}/{jax.process_count()}: "
+            f"{len(audio_paths)} of {total} files"
+        )
 
     results = []
-    audio_cache = {}
+    # audio is NOT cached across phases: waveforms are ~230 MB/hour and a
+    # batch of files would hold every one in RAM simultaneously — align/
+    # diarize reload per file instead (both accept a path), matching the
+    # reference's per-phase reload
     for audio_path in audio_paths:
         audio = load_audio(audio_path)
-        audio_cache[audio_path] = audio
         print(">>Performing transcription...")
         result = model.transcribe(
             audio,
@@ -206,6 +209,10 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
                         f"New language found ({result['language']})! Previous was "
                         f"({align_metadata['language']}), loading new alignment model..."
                     )
+                    # reference parity: the reload uses the NEW language's
+                    # default model (a user --align_model pinned for the
+                    # first language would be wrong here); align() itself
+                    # refuses random weights either way
                     align_model, align_metadata = load_align_model(
                         result["language"], device
                     )
@@ -214,7 +221,7 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
                     result["segments"],
                     align_model,
                     align_metadata,
-                    audio_cache[audio_path],
+                    audio_path,
                     device,
                     interpolate_method=interpolate_method,
                     return_char_alignments=return_char_alignments,
@@ -232,7 +239,7 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
         )
         for result, audio_path in tmp_results:
             diarize_result = diarize_model(
-                audio_cache.get(audio_path, audio_path),
+                audio_path,
                 min_speakers=min_speakers,
                 max_speakers=max_speakers,
                 return_embeddings=return_speaker_embeddings,

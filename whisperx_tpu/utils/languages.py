@@ -54,6 +54,7 @@ _ALIASES = {
     "moldovan": "ro",
     "sinhalese": "si",
     "castilian": "es",
+    "mandarin": "zh",
 }
 
 TO_LANGUAGE_CODE = {name: code for code, name in LANGUAGES.items()} | _ALIASES

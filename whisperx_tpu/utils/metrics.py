@@ -107,6 +107,10 @@ class RTFTracker:
                         "total_s": round(s.total_s, 4),
                         "audio_s": round(s.audio_s, 2),
                         "rtf": round(s.rtf, 2),
+                        # per-call extremes: warmup compiles / stalls are
+                        # separable from steady state in the export too
+                        "min_s": round(s.min_s, 4) if s.calls else 0.0,
+                        "max_s": round(s.max_s, 4),
                     }
                 )
             )

@@ -25,13 +25,13 @@ def _half_up(n: float) -> int:
 
 
 def format_timestamp(seconds: float, is_vtt: bool = False) -> str:
-    assert seconds >= 0, "non-negative timestamp expected"
-    ms = round(seconds * 1000.0)
-    hours, ms = divmod(ms, 3_600_000)
-    minutes, ms = divmod(ms, 60_000)
-    secs, ms = divmod(ms, 1_000)
-    sep = "." if is_vtt else ","
-    return f"{hours:02d}:{minutes:02d}:{secs:02d}{sep}{ms:03d}"
+    from whisperx_tpu.utils.text import format_timestamp as _fmt
+
+    return _fmt(
+        seconds,
+        always_include_hours=True,
+        decimal_marker="." if is_vtt else ",",
+    )
 
 
 class SubtitlesProcessor:

@@ -103,7 +103,7 @@ def iterate_subtitles(
                     start, end = fmt_ts(w["start"]), fmt_ts(w["end"])
                     if last != start:
                         yield last, start, prefix + text
-                    underlined = " ".join(
+                    underlined = joiner.join(
                         re.sub(r"^(\s*)(.*)$", r"\1<u>\2</u>", word)
                         if j == i
                         else word
