@@ -27,6 +27,15 @@ EOF
 
 echo ">> python API"
 python - <<'EOF'
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor the caller's platform pin — the env var alone is overridden by
+    # TPU-host sitecustomize (same recipe as the CLI's _pin_platform)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import whisperx_tpu
 
 audio = whisperx_tpu.load_audio("clip.wav")
