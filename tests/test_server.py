@@ -380,3 +380,65 @@ def test_pipeline_initial_prompt_override(nano_model, monkeypatch):
     pipe.transcribe(audio, initial_prompt="hello world")
     expected = pipe.model_prompt("hello world")
     assert seen_prompts[-1] == expected
+
+
+def test_concurrent_clients_all_served_and_coalesced():
+    """16 simultaneous POSTs: every client gets its own result back and
+    the batcher coalesces requests into far fewer pipeline calls."""
+    import threading
+
+    class CoalescingPipeline(FakePipeline):
+        def __init__(self):
+            super().__init__()
+            self.many_calls = []
+            self.lock = threading.Lock()
+
+        def transcribe_many(self, audios, batch_size=8, **kw):
+            with self.lock:
+                self.many_calls.append(len(audios))
+            return [
+                {
+                    "segments": [
+                        {"start": 0.0, "end": len(a) / 16000,
+                         "text": f"len{len(a)}"}
+                    ],
+                    "language": "en",
+                }
+                for a in audios
+            ]
+
+    pipe = CoalescingPipeline()
+    srv = TranscriptionServer(pipe, batch_config=BatchConfig(
+        max_batch_size=8, max_wait_ms=150))
+    port = srv.start_background(port=0)
+    base = f"http://127.0.0.1:{port}"
+    results = {}
+    errors = []
+
+    def client(i):
+        # distinct lengths → distinct texts prove per-client demux
+        n = 16000 + i * 160
+        body = np.zeros(n, np.float32).tobytes()
+        try:
+            _, payload = _post(
+                base + "/v1/audio/transcriptions", body,
+                {"Content-Type": "audio/x-raw-pcm", "X-Format": "f32"})
+            results[i] = payload["segments"][0]["text"]
+        except Exception as e:  # pragma: no cover
+            errors.append((i, e))
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        assert len(results) == 16
+        for i, text in results.items():
+            assert text == f"len{16000 + i * 160}", (i, text)
+        # coalescing actually happened: fewer batches than clients
+        assert sum(pipe.many_calls) == 16
+        assert len(pipe.many_calls) < 16
+    finally:
+        srv.shutdown()

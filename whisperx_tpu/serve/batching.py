@@ -199,8 +199,15 @@ class ContinuousBatcher:
             self._drain_once()
 
     def _drain_once(self) -> None:
-        size = self.scheduler.update(len(self.queue))
-        batch = self.queue.get_batch(size, self.config.max_wait_ms / 1000.0)
+        # feed queue depth to the dynamic scheduler (stats / sizing signal),
+        # but drain up to the CONFIG max: the depth is sampled BEFORE the
+        # straggler wait, so under bursty concurrent arrivals it reads ~1
+        # and would defeat coalescing entirely; max_wait_ms already bounds
+        # the latency cost of waiting for peers
+        self.scheduler.update(len(self.queue))
+        batch = self.queue.get_batch(
+            self.config.max_batch_size, self.config.max_wait_ms / 1000.0
+        )
         batch = [r for r in batch if r.request_id != "__stop__"]
         if not batch:
             return

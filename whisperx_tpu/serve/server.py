@@ -45,7 +45,14 @@ import threading
 import time
 import uuid
 import wave
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer as _ThreadingHTTPServer
+
+
+class ThreadingHTTPServer(_ThreadingHTTPServer):
+    # the stdlib default listen backlog (5) resets connections under a
+    # burst of concurrent clients; the batcher is built for exactly that
+    request_queue_size = 128
+    daemon_threads = True
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
