@@ -67,3 +67,43 @@ def test_rank_beams_length_penalty():
     assert rank_beams(tokens, lengths, scores, None)[0] == 1
     # small alpha normalizes length weakly → higher raw score (shorter) wins
     assert rank_beams(tokens, lengths, scores, 0.5)[0] == 0
+
+
+def test_beam_patience_collects_more_candidates(nano_model):
+    """patience=2 collects round(K*patience) finished sequences before
+    stopping (upstream BeamSearchDecoder semantics — was warned-ignored)."""
+    from whisperx_tpu.decoding.decode import decode_dispatch, decode_finalize
+
+    mel = _mel(seed=4)[0]
+    opts = DecodingOptions(
+        language="en", sample_len=16, beam_size=2, patience=2.0
+    )
+    handle = decode_dispatch(nano_model, mel, opts)
+    assert "beam_device" in handle
+    bank_toks, bank_lens, bank_scores, bank_count, *_ = handle["beam_device"]
+    assert bank_toks.shape[1] == 4  # C = round(2 * 2.0)
+    res = decode_finalize(handle)
+    assert isinstance(res.tokens, list)
+    assert np.isfinite(res.avg_logprob)
+
+
+def test_beam_banks_finished_and_keeps_exploring(nano_model):
+    """A banked EOT no longer freezes a beam slot: the live beams keep
+    exploring, and the final pick ranks over the bank."""
+    from whisperx_tpu.decoding.beam import _beam_decode_jit
+    from whisperx_tpu.decoding.decode import decode_dispatch
+
+    mel = _mel(seed=5)[0]
+    handle = decode_dispatch(
+        nano_model, mel,
+        DecodingOptions(language="en", sample_len=12, beam_size=3),
+    )
+    (bank_toks, bank_lens, bank_scores, bank_count,
+     live_toks, live_scores, n_sampled, *_ ) = handle["beam_device"]
+    bank_count = int(np.asarray(bank_count)[0])
+    assert 0 <= bank_count <= 3
+    # banked entries are internally consistent
+    for s in range(bank_count):
+        ln = int(np.asarray(bank_lens)[0, s])
+        assert 0 <= ln <= 12
+        assert np.isfinite(np.asarray(bank_scores)[0, s])

@@ -2,13 +2,23 @@
 
 The reference's MLX stack never implemented beam search (its beam_size
 option was silently dropped; SURVEY.md §7 build plan calls for the real
-thing). This is a jitted, fully-batched beam decode:
+thing). This is a jitted, fully-batched beam decode with upstream
+whisper's BeamSearchDecoder semantics:
 
   state per (batch, beam): token buffer, cumulative logprob, filter state,
-  KV cache rows. Each step: logits → filter chain → top-k over K·V per
-  batch → gather beams (KV cache reordered along its batch axis) → frozen
-  EOT beams propose only EOT at zero cost. Final ranking applies the
-  standard length penalty ((5+L)/6)^α, or score/L when α is None.
+  KV cache rows. Each step: logits → filter chain → top-2K over K·V per
+  batch; EOT candidates are BANKED (finished-sequence pool of
+  ``max_candidates = round(K·patience)`` slots, best-first) and the K best
+  non-EOT candidates continue as the live beams (KV cache gathered along
+  its batch axis). The loop ends when every batch row's bank is full.
+  Final ranking applies the standard length penalty ((5+L)/6)^α, or
+  score/L when α is None, over the banked sequences (live beams fill in
+  when a row banked fewer than K).
+
+  Deviation from upstream: candidates come from the global top-2K of the
+  merged K·V scores rather than the union of per-beam top-(K+1) — the
+  outcomes coincide except when one beam's (K+2)-th continuation outranks
+  every other beam, where the global pool is score-superior.
 """
 
 from __future__ import annotations
@@ -45,10 +55,19 @@ def _gather_beams(tree, src_beam: jnp.ndarray, b: int, k: int):
     return jax.tree.map(gather, tree)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "beam_size"))
-def _beam_decode_jit(params, mel, initial_tokens, cfg, beam_size: int):
-    """Returns (tokens [B, K, sample_len], lengths [B, K], scores [B, K],
-    no_speech_probs [B])."""
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "beam_size", "max_candidates")
+)
+def _beam_decode_jit(
+    params, mel, initial_tokens, cfg, beam_size: int,
+    max_candidates: int = 0,
+):
+    """Returns (bank_tokens [B, C, L], bank_lengths [B, C],
+    bank_scores [B, C], bank_count [B], live_tokens [B, K, L],
+    live_scores [B, K], n_sampled, no_speech_probs [B], audio_features).
+
+    ``max_candidates`` (C) = round(beam_size * patience); 0 → beam_size.
+    """
     from whisperx_tpu.decoding.decode import _apply_filters, init_kv_cache_like
 
     b = mel.shape[0]
@@ -88,46 +107,76 @@ def _beam_decode_jit(params, mel, initial_tokens, cfg, beam_size: int):
 
     state = F.init_filter_state(init_bk)
     tokens_buf = jnp.full((bk, cfg.sample_len), cfg.eot, jnp.int32)
-    finished = jnp.zeros((bk,), bool)
     # only beam 0 is live initially (identical prefixes would collapse)
     scores = jnp.where(
         (jnp.arange(bk) % k) == 0, 0.0, NEG_INF
     ).astype(jnp.float32)
     n_sampled = jnp.int32(0)
 
+    c = max_candidates or k  # finished-sequence bank slots per batch row
+    # +1 dummy slot absorbs dropped scatters (bank full / non-EOT rows)
+    bank_tokens = jnp.full((b, c + 1, cfg.sample_len), cfg.eot, jnp.int32)
+    bank_scores = jnp.full((b, c + 1), NEG_INF, jnp.float32)
+    bank_lengths = jnp.zeros((b, c + 1), jnp.int32)
+    bank_count = jnp.zeros((b,), jnp.int32)
+
     vocab = last_logits.shape[-1]
+    m = 2 * k  # candidate pool per row: at most one EOT per beam, so the
+    # top-2K always contain >= K non-EOT continuations
 
     def cond(carry):
-        _, _, finished, _, n_sampled, *_ = carry
-        return (~jnp.all(finished)) & (n_sampled < cfg.sample_len)
+        n_sampled, bank_count = carry[3], carry[9]
+        return (~jnp.all(bank_count >= c)) & (n_sampled < cfg.sample_len)
 
     def body(carry):
-        tokens_buf, last_logits, finished, scores, n_sampled, state, cache = carry
+        (tokens_buf, last_logits, scores, n_sampled, state, cache,
+         bank_tokens, bank_scores, bank_lengths, bank_count) = carry
         logits = _apply_filters(last_logits, state, cfg)  # [B*K, V]
         logprobs = jax.nn.log_softmax(logits, axis=-1)
-        # frozen EOT beams: only EOT at zero incremental cost
-        eot_row = jnp.full((vocab,), NEG_INF).at[cfg.eot].set(0.0)
-        logprobs = jnp.where(finished[:, None], eot_row[None, :], logprobs)
 
-        cand = scores[:, None] + logprobs  # [B*K, V]
-        cand = cand.reshape(b, k * vocab)
-        top_scores, top_idx = jax.lax.top_k(cand, k)  # [B, K]
-        src_beam = top_idx // vocab  # [B, K]
-        token = (top_idx % vocab).astype(jnp.int32)  # [B, K]
+        cand = (scores[:, None] + logprobs).reshape(b, k * vocab)
+        top_scores, top_idx = jax.lax.top_k(cand, m)  # [B, M], desc order
+        src_beam = top_idx // vocab  # [B, M]
+        token = (top_idx % vocab).astype(jnp.int32)  # [B, M]
+        is_eot = token == cfg.eot
 
-        carry_tree = (tokens_buf, finished, state, cache.self_k, cache.self_v)
-        tokens_buf, finished, state, g_self_k, g_self_v = _gather_beams(
-            carry_tree, src_beam, b, k
+        # --- bank EOT candidates (finished sequences), best-first --------
+        b_idx = jnp.arange(b)[:, None]
+        eot_rank = jnp.cumsum(is_eot, axis=-1) - 1  # [B, M]
+        slot = bank_count[:, None] + eot_rank
+        write = is_eot & (slot < c)
+        slot_c = jnp.where(write, slot, c)  # dropped writes hit the dummy
+        cand_tokens = tokens_buf.reshape(b, k, -1)[
+            b_idx, src_beam
+        ]  # [B, M, L] — source beam's sequence at EOT time
+        bank_tokens = bank_tokens.at[b_idx, slot_c].set(cand_tokens)
+        bank_scores = bank_scores.at[b_idx, slot_c].set(
+            jnp.where(write, top_scores, NEG_INF)
+        )
+        bank_lengths = bank_lengths.at[b_idx, slot_c].set(
+            jnp.where(write, n_sampled, 0)
+        )
+        bank_count = bank_count + write.sum(axis=-1)
+
+        # --- the K best non-EOT candidates continue as live beams --------
+        # stable argsort on the EOT flag keeps score order within each class
+        order = jnp.argsort(is_eot.astype(jnp.int32), axis=-1, stable=True)
+        sel = order[:, :k]  # [B, K] indices into the M candidates
+        new_scores = jnp.take_along_axis(top_scores, sel, axis=-1)
+        new_src = jnp.take_along_axis(src_beam, sel, axis=-1)
+        new_tok = jnp.take_along_axis(token, sel, axis=-1)
+
+        carry_tree = (tokens_buf, state, cache.self_k, cache.self_v)
+        tokens_buf, state, g_self_k, g_self_v = _gather_beams(
+            carry_tree, new_src, b, k
         )
         cache = KVCache(g_self_k, g_self_v, cache.cross_k, cache.cross_v)
-        token_flat = token.reshape(-1)
-        scores = top_scores.reshape(-1)
+        token_flat = new_tok.reshape(-1)
+        scores = new_scores.reshape(-1)
 
         tokens_buf = jax.lax.dynamic_update_slice(
             tokens_buf, token_flat[:, None], (0, n_sampled)
         )
-        newly_finished = token_flat == cfg.eot
-        finished = finished | newly_finished
         state = F.update_filter_state(state, token_flat, cfg.timestamp_begin)
 
         new_logits, cache, _ = decoder_forward(
@@ -136,26 +185,32 @@ def _beam_decode_jit(params, mel, initial_tokens, cfg, beam_size: int):
         return (
             tokens_buf,
             new_logits[:, -1],
-            finished,
             scores,
             n_sampled + 1,
             state,
             cache,
+            bank_tokens,
+            bank_scores,
+            bank_lengths,
+            bank_count,
         )
 
-    carry = (tokens_buf, last_logits, finished, scores, n_sampled, state, cache)
-    tokens_buf, _, finished, scores, n_sampled, *_ = jax.lax.while_loop(
-        cond, body, carry
+    carry = (
+        tokens_buf, last_logits, scores, n_sampled, state,
+        cache, bank_tokens, bank_scores, bank_lengths, bank_count,
     )
+    out = jax.lax.while_loop(cond, body, carry)
+    (tokens_buf, _, scores, n_sampled, _, _,
+     bank_tokens, bank_scores, bank_lengths, bank_count) = out
 
-    hit_eot = jnp.any(tokens_buf == cfg.eot, axis=-1)
-    lengths = jnp.where(
-        hit_eot, jnp.argmax(tokens_buf == cfg.eot, axis=-1), cfg.sample_len
-    )
     return (
+        bank_tokens[:, :c],
+        bank_lengths[:, :c],
+        bank_scores[:, :c],
+        jnp.minimum(bank_count, c),
         tokens_buf.reshape(b, k, -1),
-        lengths.reshape(b, k),
         scores.reshape(b, k),
+        n_sampled,
         no_speech_probs,
         audio_features,
     )

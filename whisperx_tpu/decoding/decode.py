@@ -479,20 +479,17 @@ def decode_dispatch(
     if use_beam:
         from whisperx_tpu.decoding.beam import _beam_decode_jit
 
-        if options.patience is not None and options.patience != 1.0:
-            import warnings
-
-            warnings.warn(
-                "beam search ignores patience (candidates stop at "
-                "beam_size finished hypotheses); results may differ from "
-                "upstream whisper with patience != 1.0"
-            )
+        k = int(options.beam_size)
+        # upstream: patience multiplies how many finished sequences are
+        # collected before the search stops (patience=1 → beam_size)
+        max_candidates = max(k, round(k * (options.patience or 1.0)))
         beam_device = _beam_decode_jit(
             model.params,
             _shard_data(audio_in),
             _shard_data(initial_arr),
             cfg,
-            int(options.beam_size),
+            k,
+            max_candidates,
         )
         # dispatch-only, like the greedy path: materialization happens in
         # decode_finalize so the two-phase pipeline (queue every group,
@@ -546,23 +543,43 @@ def decode_dispatch(
 def _finalize_beam(handle: dict) -> Union[DecodingResult, List[DecodingResult]]:
     from whisperx_tpu.decoding.beam import rank_beams
 
-    toks_bk, lens_bk, scores_bk, no_speech_probs, audio_features = handle[
-        "beam_device"
-    ]
+    (bank_toks, bank_lens, bank_scores, bank_count, live_toks, live_scores,
+     n_sampled, no_speech_probs, audio_features) = handle["beam_device"]
     b = handle["b"]
     tokenizer = handle["tokenizer"]
     options = handle["options"]
     keep_audio_features = handle["keep_audio_features"]
-    toks_bk = np.asarray(toks_bk)
-    lens_bk = np.asarray(lens_bk)
-    scores_bk = np.asarray(scores_bk)
+    bank_toks = np.asarray(bank_toks)
+    bank_lens = np.asarray(bank_lens)
+    bank_scores = np.asarray(bank_scores)
+    bank_count = np.asarray(bank_count)
+    live_toks = np.asarray(live_toks)
+    live_scores = np.asarray(live_scores)
+    n_sampled = int(np.asarray(n_sampled))
     nsp = np.asarray(no_speech_probs)
+    k = live_toks.shape[1]
     results = []
     for i in range(b):
+        # upstream finalize: the banked finished sequences; rows that
+        # banked fewer than beam_size pad from the in-flight beams
+        n_bank = int(bank_count[i])
+        toks_list = [bank_toks[i, s] for s in range(n_bank)]
+        lens_list = [int(bank_lens[i, s]) for s in range(n_bank)]
+        scores_list = [float(bank_scores[i, s]) for s in range(n_bank)]
+        if n_bank < k:
+            for j in np.argsort(-live_scores[i]):
+                if len(toks_list) >= k:
+                    break
+                toks_list.append(live_toks[i, j])
+                lens_list.append(n_sampled)
+                scores_list.append(float(live_scores[i, j]))
+        cand_toks = np.stack(toks_list)
+        cand_lens = np.asarray(lens_list)
+        cand_scores = np.asarray(scores_list)
         best, avg_lp = rank_beams(
-            toks_bk[i], lens_bk[i], scores_bk[i], options.length_penalty
+            cand_toks, cand_lens, cand_scores, options.length_penalty
         )
-        toks = toks_bk[i, best, : lens_bk[i, best]].tolist()
+        toks = cand_toks[best, : cand_lens[best]].tolist()
         text = tokenizer.decode(toks).strip()
         results.append(
             DecodingResult(
