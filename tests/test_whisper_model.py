@@ -139,3 +139,56 @@ def test_model_dims_registry():
     assert not d.is_multilingual
     d = get_dims("whisper-large-v3-turbo")
     assert d.n_text_layer == 4
+
+
+def test_beam_folded_cross_attention_matches_tiled(nano_model):
+    """decoder_forward(beam_groups=K) with UNTILED cross-KV must equal the
+    plain path with cross-KV tiled K times along the batch — the fold is
+    pure reshaping because cross-attention is per-query independent."""
+    import jax.numpy as jnp
+
+    from whisperx_tpu.models.whisper.model import (
+        KVCache,
+        decoder_forward,
+        encoder_forward,
+        precompute_cross_kv,
+    )
+    from whisperx_tpu.decoding.decode import init_kv_cache_like, _StaticConfig
+
+    dims = nano_model.dims
+    rng = np.random.default_rng(17)
+    b, k = 2, 3
+    mel = jnp.asarray(
+        rng.standard_normal((b, 3000, dims.n_mels)).astype(np.float32) * 0.1
+    )
+    feats = encoder_forward(nano_model.params, mel, dims.n_audio_head)
+    ck, cv = precompute_cross_kv(nano_model.params, feats, dims.n_text_head)
+
+    cfg = _StaticConfig(
+        n_head=dims.n_text_head, n_text_ctx=dims.n_text_ctx, eot=0,
+        sot_index=0, no_speech_token=0, timestamp_begin=0, no_timestamps=0,
+        sample_len=8, max_initial_timestamp_index=None, suppress_blank=True,
+        blank_tokens=(), suppress=(), without_timestamps=True, greedy=True,
+    )
+    tokens = jnp.asarray(
+        rng.integers(0, 5000, size=(b * k, 4)), jnp.int32
+    )
+
+    sk, sv = init_kv_cache_like(nano_model.params, b * k, cfg, n_init=4)
+    folded_cache = KVCache(sk, sv, ck, cv)
+    folded_logits, _, _ = decoder_forward(
+        nano_model.params, tokens, folded_cache, jnp.int32(0),
+        dims.n_text_head, beam_groups=k,
+    )
+
+    ck_t = tuple(jnp.repeat(x, k, axis=0) for x in ck)
+    cv_t = tuple(jnp.repeat(x, k, axis=0) for x in cv)
+    tiled_cache = KVCache(sk, sv, ck_t, cv_t)
+    tiled_logits, _, _ = decoder_forward(
+        nano_model.params, tokens, tiled_cache, jnp.int32(0),
+        dims.n_text_head,
+    )
+    np.testing.assert_allclose(
+        np.asarray(folded_logits), np.asarray(tiled_logits),
+        atol=1e-4, rtol=1e-4,
+    )

@@ -84,20 +84,16 @@ def _beam_decode_jit(
             params, mel, cfg.n_head_audio or cfg.n_head
         )
     cross_k, cross_v = precompute_cross_kv(params, audio_features, cfg.n_head)
-    # tile along batch for beams: per-layer [B, T, H, D] -> [B*K, T, H, D].
-    # KNOWN COST: cross-K/V are identical across beams, so this multiplies
-    # the decode step's dominant HBM read by K; folding beams into the
-    # query axis (attend [B,K,H,Dh] queries against untiled [B,T,H,Dh]
-    # K/V) would remove it but needs a grouped cross-attention variant in
-    # the model — tracked in ROADMAP (beam is a non-default path).
-    cross_k = tuple(jnp.repeat(x, k, axis=0) for x in cross_k)
-    cross_v = tuple(jnp.repeat(x, k, axis=0) for x in cross_v)
+    # cross-K/V stay UNTILED [B, 1500, H, Dh]: cross-attention is per-query
+    # independent, so decoder_forward folds the K beams into the query axis
+    # (beam_groups=k) and the decode step's dominant HBM read stays 1x
+    # instead of Kx. Self-attention state is per-beam ([B*K, ...]).
     self_k, self_v = init_kv_cache_like(params, bk, cfg, n_init=n_init)
     cache = KVCache(self_k, self_v, cross_k, cross_v)
 
     init_bk = jnp.repeat(initial_tokens, k, axis=0)  # same prefix everywhere
     logits, cache, _ = decoder_forward(
-        params, init_bk, cache, jnp.int32(0), cfg.n_head
+        params, init_bk, cache, jnp.int32(0), cfg.n_head, beam_groups=k
     )
     probs_at_sot = jax.nn.softmax(
         logits[::k, cfg.sot_index].astype(jnp.float32), -1
@@ -180,7 +176,8 @@ def _beam_decode_jit(
         state = F.update_filter_state(state, token_flat, cfg.timestamp_begin)
 
         new_logits, cache, _ = decoder_forward(
-            params, token_flat[:, None], cache, n_init + n_sampled, cfg.n_head
+            params, token_flat[:, None], cache, n_init + n_sampled,
+            cfg.n_head, beam_groups=k,
         )
         return (
             tokens_buf,

@@ -336,12 +336,23 @@ def decoder_forward(
     offset: jnp.ndarray,  # scalar int32: number of tokens already in cache
     n_head: int,
     capture_cross_qk: bool = False,
+    beam_groups: int = 1,
 ) -> Tuple[jnp.ndarray, KVCache, Optional[jnp.ndarray]]:
     """One decoder pass over T_new tokens starting at ``offset``.
 
     Returns (logits [B, T_new, vocab] float32, updated cache,
     cross-attn weights [L, B, H, T_new, 1500] if captured else None).
+
+    ``beam_groups`` > 1: the token batch is B·K beam rows sharing every
+    group of K rows' audio, and ``cache.cross_k/v`` hold the UNTILED
+    [B, 1500, H, Dh] K/V. Cross-attention is per-query independent, so the
+    K beams fold into the query axis ([B·K, T, H, D] → [B, K·T, H, D]) and
+    attend against one copy — the decode step's dominant HBM read stays 1×
+    instead of K×. Self-attention state remains per-beam.
     """
+    assert not (capture_cross_qk and beam_groups > 1), (
+        "cross-QK capture is per-row; beam folding not supported"
+    )
     dec = params["decoder"]
     b, t_new = tokens.shape
     # the cache may be allocated SHORTER than n_text_ctx (batched decode
@@ -385,6 +396,10 @@ def decoder_forward(
 
         h = layer_norm(blk["cross_attn_ln"], x)
         cq = _split_heads(linear(blk["cross_attn"]["query"], h), n_head)
+        if beam_groups > 1:  # fold beams into the query axis (see docstring)
+            cq = cq.reshape(
+                b // beam_groups, beam_groups * t_new, n_head, -1
+            )
         ck_i, cv_i = cache.cross_k[i], cache.cross_v[i]
         if isinstance(ck_i, QuantizedKV):
             dh = cq.shape[-1]
@@ -393,7 +408,12 @@ def decoder_forward(
             q_eff = (
                 cq.astype(jnp.float32) * ck_i.scale * (dh**-0.5)
             ).astype(cq.dtype)
-            if t_new == 1 and not capture_cross_qk and _use_cross_decode():
+            if (
+                t_new == 1
+                and beam_groups == 1
+                and not capture_cross_qk
+                and _use_cross_decode()
+            ):
                 # experimental opt-in (measured NEGATIVE result — the
                 # q_len=1 stream is MXU-feed-bound and the einsum below
                 # already sits at that wall; see ops/cross_attention_decode
@@ -427,6 +447,8 @@ def decoder_forward(
             )
         if capture_cross_qk:
             cross_qks.append(cw)
+        if beam_groups > 1:  # unfold back to per-beam rows
+            cattn = cattn.reshape(b, t_new, n_head, -1)
         x = x + linear(blk["cross_attn"]["out"], _merge_heads(cattn))
 
         h = layer_norm(blk["mlp_ln"], x)
