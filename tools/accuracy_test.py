@@ -24,6 +24,14 @@ import argparse
 import json
 import time
 
+import os
+import sys
+
+# Run-from-anywhere: the in-tree package is the subject under test.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()

@@ -12,6 +12,14 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+# Run-from-anywhere: the in-tree package is the subject under test.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def synth(duration_s, sr=16000, seed=0):
     rng = np.random.default_rng(seed)

@@ -22,6 +22,13 @@ import argparse
 import json
 import os
 
+import sys
+
+# Run-from-anywhere: the in-tree package is the subject under test.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def gpt2_byte_encoder():
     """byte → unicode char mapping (the public GPT-2 algorithm; inverse of

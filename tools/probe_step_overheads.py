@@ -25,6 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import sys
+
+# Run-from-anywhere: the in-tree package is the subject under test.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def _sync(out):
     leaf = jax.tree_util.tree_leaves(out)[0]
