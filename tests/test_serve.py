@@ -70,6 +70,50 @@ def test_request_queue_priority_order():
     assert [r.request_id for r in batch] == ["a", "b", "c"]
 
 
+def test_request_queue_aged_request_drains_immediately():
+    """The straggler window anchors at the oldest pending SUBMISSION, not
+    at drain start: a request that already waited (worker busy with the
+    previous batch) must not pay another full max_wait_s."""
+    import time as _time
+
+    q = RequestQueue()
+    req = TranscriptionRequest(
+        priority=5, seq=0, audio=np.zeros(10), request_id="aged",
+        submitted_at=_time.monotonic() - 1.0,  # aged past the 0.2 s window
+    )
+    q.put(req)
+    t0 = _time.monotonic()
+    batch = q.get_batch(8, max_wait_s=0.2)
+    elapsed = _time.monotonic() - t0
+    assert [r.request_id for r in batch] == ["aged"]
+    assert elapsed < 0.15, f"aged request waited {elapsed:.2f}s for stragglers"
+
+
+def test_request_queue_fresh_burst_still_coalesces():
+    """Peers arriving within the window of the first submit coalesce."""
+    import threading as _threading
+    import time as _time
+
+    q = RequestQueue()
+    q.put(TranscriptionRequest(
+        priority=5, seq=0, audio=np.zeros(10), request_id="first",
+        submitted_at=_time.monotonic(),
+    ))
+
+    def late_peer():
+        _time.sleep(0.1)
+        q.put(TranscriptionRequest(
+            priority=5, seq=1, audio=np.zeros(10), request_id="peer",
+            submitted_at=_time.monotonic(),
+        ))
+
+    t = _threading.Thread(target=late_peer)
+    t.start()
+    batch = q.get_batch(2, max_wait_s=2.0)
+    t.join()
+    assert sorted(r.request_id for r in batch) == ["first", "peer"]
+
+
 def test_bucket_requests_by_duration():
     reqs = [
         TranscriptionRequest(0, i, audio=np.zeros(int(d * 16000)))

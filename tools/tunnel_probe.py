@@ -48,6 +48,15 @@ def main():
     t_down = time.time() - t0
     down_mbps = mb / t_down
 
+    # warm small-sync latency: the per-dispatch cost that pollutes kernel
+    # timings (healthy ~30-40 ms; the first-transfer stall above excluded)
+    lats = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(x[:1, :1])
+        lats.append(time.time() - t0)
+    sync_ms = sorted(lats)[len(lats) // 2] * 1000
+
     if t_round > 60:
         verdict, code = "stalled", 3
     elif up_mbps < 20:
@@ -59,6 +68,7 @@ def main():
             {
                 "verdict": verdict,
                 "roundtrip_s": round(t_round, 2),
+                "sync_ms": round(sync_ms, 1),
                 "upload_mbps": round(up_mbps, 1),
                 "download_mbps": round(down_mbps, 1),
                 "backend": jax.default_backend(),

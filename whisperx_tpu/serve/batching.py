@@ -62,11 +62,19 @@ class RequestQueue:
         self, max_size: int, max_wait_s: float
     ) -> List[TranscriptionRequest]:
         """Block until at least one request, then drain up to max_size
-        (waiting at most max_wait_s for stragglers)."""
+        (waiting at most max_wait_s for stragglers).
+
+        The straggler window is anchored at the OLDEST pending request's
+        submission time, not at drain start: a request that already aged
+        in the queue while the worker decoded the previous batch drains
+        immediately (no second max_wait_s of added latency), while a
+        concurrent burst — peers arriving within max_wait_s of the first
+        submit — still coalesces."""
         with self._cond:
             while not self._heap:
                 self._cond.wait()
-            deadline = time.monotonic() + max_wait_s
+            anchor = min(r.submitted_at for r in self._heap)
+            deadline = anchor + max_wait_s
             while len(self._heap) < max_size:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0 or not self._cond.wait(timeout=remaining):
