@@ -292,8 +292,10 @@ def main():
     pipeline.transcribe(warm, batch_size=batch_size)
 
     # best-of-N guards against transient device-tunnel contention (the
-    # tunnel drifts up to ~1.7x across minutes; 3 repeats ≈ 40 s)
-    repeats = int(os.environ.get("WHISPERX_TPU_BENCH_REPEATS", 3))
+    # tunnel drifts up to ~1.7x across minutes and can stall individual
+    # transfers for seconds; 5 repeats ≈ 60-90 s and samples enough of
+    # the variance that one clean pass usually lands)
+    repeats = int(os.environ.get("WHISPERX_TPU_BENCH_REPEATS", 5))
     elapsed = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
