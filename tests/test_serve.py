@@ -10,7 +10,6 @@ from whisperx_tpu.serve import (
     AudioRingBuffer,
     BatchConfig,
     ContinuousBatcher,
-    DynamicBatchScheduler,
     RequestQueue,
     StreamingChunker,
     StreamingConfig,
@@ -128,11 +127,54 @@ def test_bucket_requests_by_duration():
     assert durations[3] == [25.0]
 
 
-def test_dynamic_batch_scheduler():
-    sched = DynamicBatchScheduler(BatchConfig(max_batch_size=8, min_batch_size=1))
-    assert sched.update(100) == 8
-    assert sched.update(0) == 1
-    assert sched.update(4) == 4
+def test_request_queue_initial_wait_returns_empty():
+    """The workerless inline-drain path must never block forever on an
+    empty queue (a concurrent caller may have drained this thread's
+    request into its own batch)."""
+    q = RequestQueue()
+    t0 = time.monotonic()
+    assert q.get_batch(4, 0.01, initial_wait_s=0.05) == []
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_workerless_concurrent_transcribe_no_deadlock():
+    """Two workerless callers: one drains BOTH requests; the other must
+    get its result instead of blocking forever inside get_batch."""
+    pipe = FakePipeline()
+    # wide straggler window so the first drainer coalesces both requests
+    batcher = ContinuousBatcher(pipe, BatchConfig(max_wait_ms=300))
+    results = {}
+
+    def call(name):
+        results[name] = batcher.transcribe(
+            np.zeros(16000, np.float32), timeout=30
+        )
+
+    threads = [threading.Thread(target=call, args=(n,)) for n in "ab"]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+        assert not t.is_alive(), "workerless caller deadlocked"
+    assert results["a"]["segments"] and results["b"]["segments"]
+
+
+def test_stop_then_start_single_worker():
+    """A stop()/start() cycle must leave exactly one live worker: the new
+    worker gets a FRESH stop event, so clearing it cannot revive the old
+    loop, and start() waits out a still-exiting worker."""
+    pipe = FakePipeline()
+    batcher = ContinuousBatcher(pipe, BatchConfig(max_wait_ms=5))
+    batcher.start()
+    first = batcher._worker
+    batcher.stop()
+    batcher.start()
+    second = batcher._worker
+    assert second is not first and second.is_alive()
+    assert not first.is_alive()
+    r = batcher.transcribe(np.zeros(8000, np.float32), timeout=20)
+    assert r["segments"][0]["text"] == "ok"
+    batcher.stop()
 
 
 def test_continuous_batcher_sync():

@@ -84,6 +84,14 @@ def _beam_decode_jit(
             params, mel, cfg.n_head_audio or cfg.n_head
         )
     cross_k, cross_v = precompute_cross_kv(params, audio_features, cfg.n_head)
+    if getattr(cfg, "kv_quant", False):
+        # same int8 cross-KV option as _decode_jit — beam search multiplies
+        # query pressure, not K/V reads (they stay untiled below), but the
+        # HBM-capacity relief must not silently vanish on the beam path
+        from whisperx_tpu.models.whisper.model import quantize_kv
+
+        cross_k = tuple(quantize_kv(x) for x in cross_k)
+        cross_v = tuple(quantize_kv(x) for x in cross_v)
     # cross-K/V stay UNTILED [B, 1500, H, Dh]: cross-attention is per-query
     # independent, so decoder_forward folds the K beams into the query axis
     # (beam_groups=k) and the decode step's dominant HBM read stays 1x

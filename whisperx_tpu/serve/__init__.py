@@ -1,7 +1,6 @@
 from whisperx_tpu.serve.batching import (
     BatchConfig,
     ContinuousBatcher,
-    DynamicBatchScheduler,
     RequestQueue,
     TranscriptionRequest,
     bucket_requests,
@@ -18,7 +17,6 @@ __all__ = [
     "TranscriptionServer",
     "BatchConfig",
     "ContinuousBatcher",
-    "DynamicBatchScheduler",
     "RequestQueue",
     "TranscriptionRequest",
     "bucket_requests",

@@ -3,9 +3,16 @@
 Host-side scheduler feeding fixed-shape padded device batches — the TPU
 equivalent of reference backends/mlx_continuous_batching.py (priority
 request queue :41-92, length bucketing :94-153, memory-aware splitting
-:229-237, dynamic batch sizing :394-418). Bucketing maps directly onto
-XLA's static-shape compilation model: each (bucket, batch) pair compiles
-once and is reused forever.
+:229-237). Bucketing maps directly onto XLA's static-shape compilation
+model: each (bucket, batch) pair compiles once and is reused forever.
+
+The reference's queue-depth DynamicBatchScheduler (:394-418) is
+deliberately NOT replicated: depth sampled at drain time under-reads
+concurrent bursts (peers haven't enqueued yet), and here the serving
+batch size only caps how many REQUESTS coalesce — device shapes come
+from the pipeline's own batch size. The anchored straggler window in
+``RequestQueue.get_batch`` subsumes it: batch fill adapts to arrival
+rate with a hard per-request latency bound.
 """
 
 from __future__ import annotations
@@ -18,6 +25,8 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
+
+from whisperx_tpu.audio.constants import SAMPLE_RATE
 
 
 @dataclass(order=True)
@@ -38,11 +47,9 @@ class TranscriptionRequest:
 @dataclass
 class BatchConfig:
     max_batch_size: int = 8
-    min_batch_size: int = 1
     max_wait_ms: float = 100.0
     # duration bucket boundaries in seconds (reference :100-138)
     bucket_boundaries: tuple = (5.0, 10.0, 20.0, 30.0, 60.0)
-    dynamic: bool = True
 
 
 class RequestQueue:
@@ -59,10 +66,17 @@ class RequestQueue:
             self._cond.notify()
 
     def get_batch(
-        self, max_size: int, max_wait_s: float
+        self, max_size: int, max_wait_s: float,
+        initial_wait_s: Optional[float] = None,
     ) -> List[TranscriptionRequest]:
         """Block until at least one request, then drain up to max_size
         (waiting at most max_wait_s for stragglers).
+
+        ``initial_wait_s`` bounds the initial block-for-work wait: when the
+        queue stays empty that long, return [] instead of blocking forever
+        (used by the workerless inline-drain path, where another thread may
+        have drained this caller's request already). None = block forever
+        (the dedicated worker, which is unblocked by a sentinel on stop).
 
         The straggler window is anchored at the OLDEST pending request's
         submission time, not at drain start: a request that already aged
@@ -71,8 +85,16 @@ class RequestQueue:
         concurrent burst — peers arriving within max_wait_s of the first
         submit — still coalesces."""
         with self._cond:
-            while not self._heap:
-                self._cond.wait()
+            if initial_wait_s is None:
+                while not self._heap:
+                    self._cond.wait()
+            else:
+                empty_deadline = time.monotonic() + initial_wait_s
+                while not self._heap:
+                    remaining = empty_deadline - time.monotonic()
+                    if remaining <= 0:
+                        return []
+                    self._cond.wait(timeout=remaining)
             anchor = min(r.submitted_at for r in self._heap)
             deadline = anchor + max_wait_s
             while len(self._heap) < max_size:
@@ -109,25 +131,6 @@ def bucket_requests(
     return buckets
 
 
-class DynamicBatchScheduler:
-    """Adjust target batch size from queue depth (reference :394-418)."""
-
-    def __init__(self, config: BatchConfig):
-        self.config = config
-        self.current = config.max_batch_size
-
-    def update(self, queue_depth: int) -> int:
-        if not self.config.dynamic:
-            return self.config.max_batch_size
-        if queue_depth >= 2 * self.config.max_batch_size:
-            self.current = self.config.max_batch_size
-        elif queue_depth <= self.config.min_batch_size:
-            self.current = max(self.config.min_batch_size, queue_depth or 1)
-        else:
-            self.current = min(self.config.max_batch_size, queue_depth)
-        return self.current
-
-
 class ContinuousBatcher:
     """Serving loop: queue → bucketed padded batches → pooled decode.
 
@@ -141,10 +144,13 @@ class ContinuousBatcher:
         self.pipeline = pipeline
         self.config = config or BatchConfig()
         self.queue = RequestQueue()
-        self.scheduler = DynamicBatchScheduler(self.config)
+        # all keys pre-seeded: values are only ever reassigned, never
+        # inserted, so /metrics can iterate a snapshot without racing a
+        # mid-iteration resize from the worker thread
         self.stats = {
             "requests": 0,
             "batches": 0,
+            "errors": 0,
             "total_audio_s": 0.0,
             "total_wall_s": 0.0,
             "total_wait_s": 0.0,
@@ -178,19 +184,35 @@ class ContinuousBatcher:
         return req
 
     def transcribe(self, audio: np.ndarray, timeout: Optional[float] = None,
-                   language: Optional[str] = None, task: Optional[str] = None):
-        req = self.submit(audio, language=language, task=task)
-        if self._worker is None:
-            self._drain_once()
+                   priority: int = 10, language: Optional[str] = None,
+                   task: Optional[str] = None):
+        req = self.submit(audio, priority=priority, language=language,
+                          task=task)
+        # workerless mode: drain inline — but a CONCURRENT workerless
+        # caller may drain this request into ITS batch, so never block
+        # forever on an empty queue; once the queue stays empty, the
+        # request is in someone's in-flight batch and done.wait below is
+        # the correct place to park
+        while self._worker is None and not req.done.is_set():
+            if not self._drain_once(initial_wait_s=0.05):
+                break
         if not req.done.wait(timeout):
             raise TimeoutError("transcription request timed out")
         return req.result
 
     def start(self) -> None:
-        if self._worker is None:
-            self._stop.clear()
-            self._worker = threading.Thread(target=self._run, daemon=True)
-            self._worker.start()
+        if self._worker is not None:
+            if self._worker.is_alive() and not self._stop.is_set():
+                return  # already running
+            # a stop() was requested (or the thread already exited): wait
+            # for the old worker to fully exit before replacing it — two
+            # live workers would drive the device concurrently
+            self._worker.join()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(
+            target=self._run, args=(self._stop,), daemon=True
+        )
+        self._worker.start()
 
     def stop(self) -> None:
         self._stop.set()
@@ -198,27 +220,31 @@ class ContinuousBatcher:
             # unblock the queue wait
             self.submit(np.zeros(160, np.float32), priority=10**9, request_id="__stop__")
             self._worker.join(timeout=5)
-            self._worker = None
+            # mid-decode (first-call compiles run minutes) the join can
+            # time out; keep the handle so a later start() finishes the
+            # join instead of spawning a second driver
+            if not self._worker.is_alive():
+                self._worker = None
 
     # -- internals ---------------------------------------------------------
 
-    def _run(self) -> None:
-        while not self._stop.is_set():
+    def _run(self, stop: threading.Event) -> None:
+        # `stop` is THIS worker's event, passed by value: a stop()/start()
+        # cycle creates a fresh Event, so clearing it can never revive a
+        # previous worker's loop
+        while not stop.is_set():
             self._drain_once()
 
-    def _drain_once(self) -> None:
-        # feed queue depth to the dynamic scheduler (stats / sizing signal),
-        # but drain up to the CONFIG max: the depth is sampled BEFORE the
-        # straggler wait, so under bursty concurrent arrivals it reads ~1
-        # and would defeat coalescing entirely; max_wait_ms already bounds
-        # the latency cost of waiting for peers
-        self.scheduler.update(len(self.queue))
+    def _drain_once(self, initial_wait_s: Optional[float] = None) -> bool:
+        """Drain and decode one coalesced batch; returns whether any
+        request was processed."""
         batch = self.queue.get_batch(
-            self.config.max_batch_size, self.config.max_wait_ms / 1000.0
+            self.config.max_batch_size, self.config.max_wait_ms / 1000.0,
+            initial_wait_s=initial_wait_s,
         )
         batch = [r for r in batch if r.request_id != "__stop__"]
         if not batch:
-            return
+            return False
         buckets = bucket_requests(batch, self.config.bucket_boundaries)
         for reqs in buckets.values():
             t0 = time.monotonic()
@@ -250,7 +276,7 @@ class ContinuousBatcher:
                 for req in reqs:
                     req.result = err
                     req.done.set()
-                self.stats["errors"] = self.stats.get("errors", 0) + len(reqs)
+                self.stats["errors"] += len(reqs)
                 continue
             for req, result in zip(reqs, results):
                 req.result = result
@@ -258,10 +284,15 @@ class ContinuousBatcher:
                 if req.callback:
                     req.callback(result)
                 self.stats["requests"] += 1
-                self.stats["total_audio_s"] += len(req.audio) / 16000
+                self.stats["total_audio_s"] += len(req.audio) / SAMPLE_RATE
                 self.stats["total_wait_s"] += t0 - req.submitted_at
             self.stats["batches"] += 1
             self.stats["total_wall_s"] += time.monotonic() - t0
+        return True
+
+    def stats_snapshot(self) -> Dict[str, Any]:
+        # dict.copy() is a single C-level operation (atomic under the GIL)
+        return self.stats.copy()
 
     @property
     def throughput_rtf(self) -> float:

@@ -72,19 +72,22 @@ def _decode_body(body: bytes, content_type: str, headers) -> np.ndarray:
     ctype = (content_type or "").split(";")[0].strip().lower()
     if ctype in ("audio/x-raw-pcm", "application/x-raw-pcm"):
         fmt = (headers.get("X-Format") or "f32").lower()
+        if fmt not in ("f32", "i16"):  # outside the try: _BadRequest IS a
+            # ValueError and must not be rewrapped as "bad PCM body"
+            raise _BadRequest(f"unknown X-Format {fmt!r} (use f32 or i16)")
         try:
             sr = int(headers.get("X-Sample-Rate") or SAMPLE_RATE)
         except ValueError:
             raise _BadRequest("X-Sample-Rate must be an integer")
+        if sr <= 0:
+            raise _BadRequest(f"X-Sample-Rate must be positive, got {sr}")
         try:
             if fmt == "f32":
                 audio = np.frombuffer(body, np.float32)
-            elif fmt == "i16":
+            else:
                 audio = (
                     np.frombuffer(body, np.int16).astype(np.float32) / 32768.0
                 )
-            else:
-                raise _BadRequest(f"unknown X-Format {fmt!r} (use f32 or i16)")
         except ValueError as e:  # e.g. body length not a sample multiple
             raise _BadRequest(f"bad PCM body: {e}") from e
         if sr != SAMPLE_RATE:
@@ -202,14 +205,15 @@ class TranscriptionServer:
     def transcribe(self, audio: np.ndarray, priority: int = 10, timeout=600.0,
                    language: Optional[str] = None, task: Optional[str] = None):
         t0 = time.monotonic()
-        req = self.batcher.submit(
-            audio, priority=priority, language=language, task=task
+        # batcher.transcribe owns the workerless inline-drain fallback
+        # (and its concurrent-caller semantics) — don't duplicate it here
+        result = dict(
+            self.batcher.transcribe(
+                audio, timeout=timeout, priority=priority,
+                language=language, task=task,
+            )
+            or {}
         )
-        if self.batcher._worker is None:
-            self.batcher._drain_once()
-        if not req.done.wait(timeout):
-            raise TimeoutError("transcription request timed out")
-        result = dict(req.result or {})
         if set(result) == {"error"}:  # batch failed; surface, don't fake a 200
             raise RuntimeError(result["error"])
         result["wall_s"] = round(time.monotonic() - t0, 3)
@@ -238,7 +242,10 @@ class TranscriptionServer:
 
     def _reap_streams(self) -> None:
         """Drop sessions whose client vanished without POSTing /end — each
-        pins a ring buffer + results, so abandonment must not leak."""
+        pins a ring buffer + results, so abandonment must not leak.
+        Called from every POST and from /healthz (monitoring scrapes), so
+        leaked sessions are collected as long as the server sees ANY
+        traffic — not only when a new stream is opened."""
         now = time.monotonic()
         with self._streams_lock:
             dead = [
@@ -263,13 +270,14 @@ class TranscriptionServer:
         return new, final, stats
 
     def health(self) -> dict:
+        self._reap_streams()
         return {
             "status": "ok",
             "model": self.model_name,
             "uptime_s": round(time.time() - self.started_at, 1),
             "queue_depth": len(self.batcher.queue),
             "active_streams": len(self.streams),
-            "stats": dict(self.batcher.stats),
+            "stats": self.batcher.stats_snapshot(),
             "throughput_rtf": round(self.batcher.throughput_rtf, 2),
         }
 
@@ -288,7 +296,9 @@ class TranscriptionServer:
             "# TYPE whisperx_throughput_rtf gauge",
             f"whisperx_throughput_rtf {self.batcher.throughput_rtf:.3f}",
         ]
-        for key, val in self.batcher.stats.items():
+        # snapshots: the batcher worker and pipeline threads mutate these
+        # dicts concurrently; .copy()/report() take C-level-atomic copies
+        for key, val in self.batcher.stats_snapshot().items():
             lines.append(f"# TYPE whisperx_{key} counter")
             lines.append(f"whisperx_{key} {val}")
         for stage, s in GLOBAL_TRACKER.report().items():
@@ -296,7 +306,7 @@ class TranscriptionServer:
             lines.append(f"whisperx_stage_calls{tag} {s['calls']}")
             lines.append(f"whisperx_stage_seconds_total{tag} {s['total_s']}")
             lines.append(f"whisperx_stage_audio_seconds_total{tag} {s['audio_s']}")
-        for counter, val in GLOBAL_TRACKER.counters.items():
+        for counter, val in GLOBAL_TRACKER.counters.copy().items():
             lines.append(f'whisperx_counter{{name="{counter}"}} {val}')
         return "\n".join(lines) + "\n"
 
@@ -353,6 +363,7 @@ def _make_handler(app: TranscriptionServer):
 
         # -- routes --
         def do_GET(self):
+            self._body()  # drain any (unusual) GET body — keep-alive safety
             path = urlparse(self.path).path
             if path == "/healthz":
                 self._json(200, app.health())
@@ -371,10 +382,16 @@ def _make_handler(app: TranscriptionServer):
         def do_POST(self):
             url = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            # ALWAYS drain the body first: connections are keep-alive
+            # (HTTP/1.1), so an unread body would be parsed as the next
+            # request line and desync every later request on the socket —
+            # including on routes that ignore bodies (/stream/start, 404)
+            body = self._body()
+            app._reap_streams()
             try:
                 if url.path == "/v1/audio/transcriptions":
                     audio = _decode_body(
-                        self._body(), self.headers.get("Content-Type"),
+                        body, self.headers.get("Content-Type"),
                         self.headers,
                     )
                     if len(audio) == 0:
@@ -400,7 +417,7 @@ def _make_handler(app: TranscriptionServer):
                     sess = app.stream(sid)
                     if action == "audio":
                         audio = _decode_body(
-                            self._body(),
+                            body,
                             self.headers.get("Content-Type")
                             or "audio/x-raw-pcm",
                             self.headers,

@@ -73,6 +73,9 @@ class RTFTracker:
         self.counters.clear()
 
     def report(self) -> Dict[str, dict]:
+        # snapshot first: serving handler threads call this while pipeline
+        # threads insert new stages (dict() is one C-level op, atomic
+        # under the GIL; iterating the live dict could raise RuntimeError)
         return {
             name: {
                 "calls": s.calls,
@@ -82,7 +85,7 @@ class RTFTracker:
                 "min_s": round(s.min_s, 4) if s.calls else 0.0,
                 "max_s": round(s.max_s, 4),
             }
-            for name, s in self.stages.items()
+            for name, s in dict(self.stages).items()
         }
 
     def dump(self, path: Optional[str] = None) -> str:
@@ -97,7 +100,8 @@ class RTFTracker:
         reference's print()-level reporting): one JSON line per stage plus
         a summary line with derived tokens/s and batch-fill ratios."""
         lines = []
-        for name, s in self.stages.items():
+        stages = dict(self.stages)  # snapshot (see report())
+        for name, s in stages.items():
             lines.append(
                 json.dumps(
                     {
@@ -114,15 +118,15 @@ class RTFTracker:
                     }
                 )
             )
-        total_s = sum(s.total_s for s in self.stages.values())
-        audio_s = max((s.audio_s for s in self.stages.values()), default=0.0)
+        total_s = sum(s.total_s for s in stages.values())
+        audio_s = max((s.audio_s for s in stages.values()), default=0.0)
         summary = {
             "event": "summary",
             "total_s": round(total_s, 4),
             "audio_s": round(audio_s, 2),
             "rtf": round(audio_s / total_s, 2) if total_s > 0 else 0.0,
         }
-        decode = self.stages.get("decode")
+        decode = stages.get("decode")
         if self.counters.get("tokens_decoded") and decode and decode.total_s > 0:
             summary["tokens_per_s"] = round(
                 self.counters["tokens_decoded"] / decode.total_s, 1
