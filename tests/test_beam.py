@@ -87,10 +87,37 @@ def test_beam_patience_collects_more_candidates(nano_model):
     assert np.isfinite(res.avg_logprob)
 
 
+def test_bank_writes_upstream_cut():
+    """EOT candidates ranked below the K-th surviving continuation are
+    never banked (upstream BeamSearchDecoder stops recording once
+    beam_size continuations are saved) — otherwise K low-scoring EOTs
+    could fill the bank and end the search over better live beams."""
+    import jax.numpy as jnp
+
+    from whisperx_tpu.decoding.beam import _bank_writes
+
+    # all K continuations outrank every EOT: nothing banks
+    is_eot = jnp.array([[False] * 5 + [True] * 5])
+    write, slot = _bank_writes(is_eot, jnp.array([0]), k=5, c=5)
+    assert not bool(write.any())
+    assert bool((slot == 5).all())  # every write routed to the dummy slot
+
+    # EOTs above the cut bank densely; the one past K continuations drops
+    is_eot = jnp.array([[True, False, True, False, True, False]])
+    write, slot = _bank_writes(is_eot, jnp.array([0]), k=2, c=4)
+    assert write[0].tolist() == [True, False, True, False, False, False]
+    assert int(slot[0, 0]) == 0 and int(slot[0, 2]) == 1
+
+    # existing bank_count offsets slots; capacity c drops the overflow
+    is_eot = jnp.array([[True, True, False, False]])
+    write, slot = _bank_writes(is_eot, jnp.array([3]), k=2, c=4)
+    assert write[0].tolist() == [True, False, False, False]
+    assert int(slot[0, 0]) == 3
+
+
 def test_beam_banks_finished_and_keeps_exploring(nano_model):
     """A banked EOT no longer freezes a beam slot: the live beams keep
     exploring, and the final pick ranks over the bank."""
-    from whisperx_tpu.decoding.beam import _beam_decode_jit
     from whisperx_tpu.decoding.decode import decode_dispatch
 
     mel = _mel(seed=5)[0]

@@ -159,6 +159,42 @@ def test_workerless_concurrent_transcribe_no_deadlock():
     assert results["a"]["segments"] and results["b"]["segments"]
 
 
+def test_stop_timeout_keeps_serving_inline():
+    """stop() whose join times out (worker stuck mid-decode, e.g. a
+    first-call compile) must not wedge transcribe(): with the stop
+    requested, callers fall back to inline draining."""
+    entered = threading.Event()
+    release = threading.Event()
+    calls = []
+
+    class SlowPipeline:
+        def transcribe(self, audio, batch_size=8, **kw):
+            calls.append(len(audio))
+            if len(calls) == 1:  # first batch blocks like a long compile
+                entered.set()
+                release.wait(10)
+            return {
+                "segments": [{"start": 0.0, "end": 1.0, "text": "ok"}],
+                "language": "en",
+            }
+
+    batcher = ContinuousBatcher(
+        SlowPipeline(), BatchConfig(max_wait_ms=5, stop_join_s=0.1)
+    )
+    batcher.start()
+    req_a = batcher.submit(np.zeros(16000, np.float32))
+    assert entered.wait(10)
+    batcher.stop()  # join times out; worker is still mid-decode
+    t0 = time.monotonic()
+    r = batcher.transcribe(np.zeros(8000, np.float32), timeout=10)
+    assert r["segments"][0]["text"] == "ok"
+    assert time.monotonic() - t0 < 5, "caller parked behind the dying worker"
+    release.set()
+    assert req_a.done.wait(10)  # the stuck batch still completes
+    batcher.start()  # joins the wound-down worker, spawns a fresh one
+    batcher.stop()
+
+
 def test_stop_then_start_single_worker():
     """A stop()/start() cycle must leave exactly one live worker: the new
     worker gets a FRESH stop event, so clearing it cannot revive the old

@@ -246,6 +246,57 @@ def test_stream_ttl_reaps_abandoned_sessions():
         srv.shutdown()
 
 
+def test_chunked_body_rejected_with_411():
+    """A Transfer-Encoding: chunked POST gets a clean 411 and the server
+    closes the connection — unread chunked frames must never be parsed
+    as the next request line on the keep-alive socket."""
+    import http.client
+
+    srv = TranscriptionServer(
+        FakePipeline(), batch_config=BatchConfig(max_wait_ms=5)
+    )
+    port = srv.start_background(port=0)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.putrequest("POST", "/v1/audio/transcriptions")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.putheader("Content-Type", "audio/x-raw-pcm")
+        conn.endheaders()
+        try:  # server may reply + close before the frames land
+            conn.send(b"4\r\nabcd\r\n0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+        resp = conn.getresponse()
+        assert resp.status == 411
+        assert "Content-Length" in json.loads(resp.read())["error"]
+        assert resp.headers.get("Connection", "").lower() == "close"
+        conn.close()
+    finally:
+        srv.shutdown()
+
+
+def test_reap_abandons_without_final_decode():
+    """TTL reaping runs on /healthz and POST handler threads, so it must
+    be O(1): no final-tail decode of the abandoned stream (the client is
+    gone; the output would be discarded) and no blocking worker join."""
+    import time as _t
+
+    pipe = FakePipeline()
+    srv = TranscriptionServer(pipe, stream_ttl_s=0.1)
+    sid = srv.open_stream()
+    sess = srv.stream(sid)
+    # leave a pending tail that stop() WOULD decode
+    sess.transcriber.feed(synth_speech(2.0).astype(np.float32))
+    calls_before = len(pipe.calls)
+    _t.sleep(0.25)
+    t0 = _t.monotonic()
+    srv._reap_streams()
+    assert _t.monotonic() - t0 < 0.5
+    assert len(pipe.calls) == calls_before, "reap ran the discarded decode"
+    assert sid not in srv.streams
+    srv.shutdown()
+
+
 def test_stream_language_override(server):
     """?language= on /v1/stream/start pins the language of every chunk
     decode in that session."""

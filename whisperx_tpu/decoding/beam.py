@@ -7,10 +7,11 @@ whisper's BeamSearchDecoder semantics:
 
   state per (batch, beam): token buffer, cumulative logprob, filter state,
   KV cache rows. Each step: logits → filter chain → top-2K over K·V per
-  batch; EOT candidates are BANKED (finished-sequence pool of
-  ``max_candidates = round(K·patience)`` slots, best-first) and the K best
-  non-EOT candidates continue as the live beams (KV cache gathered along
-  its batch axis). The loop ends when every batch row's bank is full.
+  batch; EOT candidates ranked above the K-th surviving continuation are
+  BANKED (finished-sequence pool of ``max_candidates = round(K·patience)``
+  slots, best-first — EOTs below that cut are dropped, matching upstream's
+  "stop once beam_size saved" iteration) and the K best non-EOT candidates
+  continue as the live beams (KV cache gathered along its batch axis). The loop ends when every batch row's bank is full.
   Final ranking applies the standard length penalty ((5+L)/6)^α, or
   score/L when α is None, over the banked sequences (live beams fill in
   when a row banked fewer than K).
@@ -39,6 +40,30 @@ from whisperx_tpu.models.whisper.model import (
 )
 
 NEG_INF = float("-inf")
+
+
+def _bank_writes(
+    is_eot: jnp.ndarray,  # [B, M] EOT flag per descending-score candidate
+    bank_count: jnp.ndarray,  # [B] finished sequences banked so far
+    k: int,  # beam width
+    c: int,  # bank capacity (round(K·patience))
+):
+    """Which candidates get banked this step, and into which slot.
+
+    Upstream BeamSearchDecoder iterates candidates in descending score and
+    stops recording once beam_size continuations are saved ("if saved ==
+    self.beam_size: break"), so an EOT ranked below the K-th surviving
+    continuation is never banked — without that cut, K low-scoring EOTs in
+    one step could fill the bank and terminate the search while strictly
+    better live beams are still exploring. Returns (write [B, M] mask,
+    slot [B, M] — dropped writes routed to the dummy slot ``c``).
+    """
+    non_eot_before = jnp.cumsum(~is_eot, axis=-1) - (~is_eot)  # exclusive
+    bankable = is_eot & (non_eot_before < k)
+    eot_rank = jnp.cumsum(bankable, axis=-1) - 1  # dense rank among bankable
+    slot = bank_count[:, None] + eot_rank
+    write = bankable & (slot < c)
+    return write, jnp.where(write, slot, c)
 
 
 def _gather_beams(tree, src_beam: jnp.ndarray, b: int, k: int):
@@ -146,10 +171,7 @@ def _beam_decode_jit(
 
         # --- bank EOT candidates (finished sequences), best-first --------
         b_idx = jnp.arange(b)[:, None]
-        eot_rank = jnp.cumsum(is_eot, axis=-1) - 1  # [B, M]
-        slot = bank_count[:, None] + eot_rank
-        write = is_eot & (slot < c)
-        slot_c = jnp.where(write, slot, c)  # dropped writes hit the dummy
+        write, slot_c = _bank_writes(is_eot, bank_count, k, c)
         cand_tokens = tokens_buf.reshape(b, k, -1)[
             b_idx, src_beam
         ]  # [B, M, L] — source beam's sequence at EOT time

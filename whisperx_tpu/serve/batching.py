@@ -50,6 +50,10 @@ class BatchConfig:
     max_wait_ms: float = 100.0
     # duration bucket boundaries in seconds (reference :100-138)
     bucket_boundaries: tuple = (5.0, 10.0, 20.0, 30.0, 60.0)
+    # how long stop() waits for the worker to exit before giving up
+    # (first-call compiles can run minutes; callers fall back to inline
+    # draining while the old worker winds down)
+    stop_join_s: float = 5.0
 
 
 class RequestQueue:
@@ -116,8 +120,6 @@ def bucket_requests(
 ) -> Dict[int, List[TranscriptionRequest]]:
     """Group requests by duration bucket; sort within bucket by length so
     padded batches waste minimal compute (reference :100-138)."""
-    from whisperx_tpu.audio.constants import SAMPLE_RATE
-
     buckets: Dict[int, List[TranscriptionRequest]] = {}
     for r in requests:
         dur = len(r.audio) / SAMPLE_RATE
@@ -144,9 +146,10 @@ class ContinuousBatcher:
         self.pipeline = pipeline
         self.config = config or BatchConfig()
         self.queue = RequestQueue()
-        # all keys pre-seeded: values are only ever reassigned, never
-        # inserted, so /metrics can iterate a snapshot without racing a
-        # mid-iteration resize from the worker thread
+        # writers (the worker AND concurrent workerless drainers) hold
+        # _stats_lock around read-modify-write updates; readers take a
+        # locked copy via stats_snapshot()
+        self._stats_lock = threading.Lock()
         self.stats = {
             "requests": 0,
             "batches": 0,
@@ -188,12 +191,12 @@ class ContinuousBatcher:
                    task: Optional[str] = None):
         req = self.submit(audio, priority=priority, language=language,
                           task=task)
-        # workerless mode: drain inline — but a CONCURRENT workerless
-        # caller may drain this request into ITS batch, so never block
-        # forever on an empty queue; once the queue stays empty, the
-        # request is in someone's in-flight batch and done.wait below is
-        # the correct place to park
-        while self._worker is None and not req.done.is_set():
+        # no live worker (never started, stopped, or stopping): drain
+        # inline — but a CONCURRENT workerless caller may drain this
+        # request into ITS batch, so never block forever on an empty
+        # queue; once the queue stays empty, the request is in someone's
+        # in-flight batch and done.wait below is the correct place to park
+        while not self._worker_live() and not req.done.is_set():
             if not self._drain_once(initial_wait_s=0.05):
                 break
         if not req.done.wait(timeout):
@@ -219,7 +222,7 @@ class ContinuousBatcher:
         if self._worker is not None:
             # unblock the queue wait
             self.submit(np.zeros(160, np.float32), priority=10**9, request_id="__stop__")
-            self._worker.join(timeout=5)
+            self._worker.join(timeout=self.config.stop_join_s)
             # mid-decode (first-call compiles run minutes) the join can
             # time out; keep the handle so a later start() finishes the
             # join instead of spawning a second driver
@@ -227,6 +230,14 @@ class ContinuousBatcher:
                 self._worker = None
 
     # -- internals ---------------------------------------------------------
+
+    def _worker_live(self) -> bool:
+        """Whether a dedicated worker will drain new submissions. False
+        once stop() is requested — even if the old worker's join timed
+        out mid-decode — so transcribe() falls back to inline draining
+        instead of parking forever behind a dying worker."""
+        w = self._worker
+        return w is not None and w.is_alive() and not self._stop.is_set()
 
     def _run(self, stop: threading.Event) -> None:
         # `stop` is THIS worker's event, passed by value: a stop()/start()
@@ -276,25 +287,33 @@ class ContinuousBatcher:
                 for req in reqs:
                     req.result = err
                     req.done.set()
-                self.stats["errors"] += len(reqs)
+                with self._stats_lock:
+                    self.stats["errors"] += len(reqs)
                 continue
+            wait_s = audio_s = 0.0
             for req, result in zip(reqs, results):
                 req.result = result
                 req.done.set()
                 if req.callback:
                     req.callback(result)
-                self.stats["requests"] += 1
-                self.stats["total_audio_s"] += len(req.audio) / SAMPLE_RATE
-                self.stats["total_wait_s"] += t0 - req.submitted_at
-            self.stats["batches"] += 1
-            self.stats["total_wall_s"] += time.monotonic() - t0
+                audio_s += len(req.audio) / SAMPLE_RATE
+                wait_s += t0 - req.submitted_at
+            # += is a read-modify-write: concurrent workerless drainers
+            # would lose updates without the lock
+            with self._stats_lock:
+                self.stats["requests"] += len(reqs)
+                self.stats["total_audio_s"] += audio_s
+                self.stats["total_wait_s"] += wait_s
+                self.stats["batches"] += 1
+                self.stats["total_wall_s"] += time.monotonic() - t0
         return True
 
     def stats_snapshot(self) -> Dict[str, Any]:
-        # dict.copy() is a single C-level operation (atomic under the GIL)
-        return self.stats.copy()
+        with self._stats_lock:
+            return self.stats.copy()
 
     @property
     def throughput_rtf(self) -> float:
-        w = self.stats["total_wall_s"]
-        return self.stats["total_audio_s"] / w if w > 0 else 0.0
+        snap = self.stats_snapshot()
+        w = snap["total_wall_s"]
+        return snap["total_audio_s"] / w if w > 0 else 0.0

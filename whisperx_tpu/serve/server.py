@@ -67,6 +67,12 @@ class _BadRequest(ValueError):
     pass
 
 
+class _LengthRequired(Exception):
+    """Request body without a Content-Length (chunked transfer coding):
+    answered 411 and the connection closed, since an unread body would
+    desync the keep-alive socket."""
+
+
 def _decode_body(body: bytes, content_type: str, headers) -> np.ndarray:
     """Request body → float32 mono 16 kHz samples."""
     ctype = (content_type or "").split(";")[0].strip().lower()
@@ -255,7 +261,12 @@ class TranscriptionServer:
             sessions = [self.streams.pop(sid) for sid in dead]
         for sess in sessions:
             try:
-                sess.transcriber.stop()
+                # abandon, not stop(): the client is gone, so the final-tail
+                # decode would be discarded anyway, and stop()'s 10 s join +
+                # device work must not run on the /healthz or POST handler
+                # thread (a liveness probe that lands on an expired TTL
+                # would stall for the length of a decode)
+                sess.transcriber.abandon()
             except Exception:
                 pass
 
@@ -355,15 +366,38 @@ def _make_handler(app: TranscriptionServer):
             self.wfile.write(body)
 
         def _body(self) -> bytes:
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            if "chunked" in te:
+                # we don't parse chunked framing; the unread frames would
+                # be interpreted as the next request line and desync every
+                # later request on this keep-alive socket
+                raise _LengthRequired()
             n = int(self.headers.get("Content-Length") or 0)
             return self.rfile.read(n) if n else b""
+
+        def _reject_unsized(self):
+            body = json.dumps(
+                {"error": "Transfer-Encoding: chunked is unsupported; "
+                          "send Content-Length"}
+            ).encode()
+            self.send_response(411)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Connection", "close")
+            self.end_headers()
+            self.wfile.write(body)
+            self.close_connection = True
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
         # -- routes --
         def do_GET(self):
-            self._body()  # drain any (unusual) GET body — keep-alive safety
+            try:
+                self._body()  # drain any (unusual) GET body — keep-alive safety
+            except _LengthRequired:
+                self._reject_unsized()
+                return
             path = urlparse(self.path).path
             if path == "/healthz":
                 self._json(200, app.health())
@@ -386,7 +420,11 @@ def _make_handler(app: TranscriptionServer):
             # (HTTP/1.1), so an unread body would be parsed as the next
             # request line and desync every later request on the socket —
             # including on routes that ignore bodies (/stream/start, 404)
-            body = self._body()
+            try:
+                body = self._body()
+            except _LengthRequired:
+                self._reject_unsized()
+                return
             app._reap_streams()
             try:
                 if url.path == "/v1/audio/transcriptions":

@@ -329,6 +329,14 @@ class StreamingTranscriber:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
+    def abandon(self) -> None:
+        """Tear down without the final-tail decode or a blocking join —
+        for TTL reaping of vanished clients, where the output would be
+        discarded and the caller (an HTTP handler or health probe) must
+        stay O(1). The daemon worker exits on its next stop check."""
+        self._stop.set()
+        self._worker = None
+
     def stop(self) -> List[dict]:
         self._stop.set()
         if self._worker:
