@@ -246,6 +246,91 @@ def test_stream_ttl_reaps_abandoned_sessions():
         srv.shutdown()
 
 
+def test_oversized_body_rejected_with_413():
+    """Bodies over max_body_bytes are refused BEFORE being read (reading
+    them would be the memory DoS the cap prevents) and the connection
+    closes, since the unread body would desync keep-alive."""
+    srv = TranscriptionServer(
+        FakePipeline(), batch_config=BatchConfig(max_wait_ms=5),
+        max_body_bytes=1000,
+    )
+    port = srv.start_background(port=0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/audio/transcriptions",
+            data=b"\x00" * 2000,
+            headers={"Content-Type": "audio/x-raw-pcm", "X-Format": "i16"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 413
+        assert e.value.headers.get("Connection", "").lower() == "close"
+        # under the cap still works
+        ok = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/audio/transcriptions",
+            data=np.zeros(400, np.int16).tobytes(),
+            headers={"Content-Type": "audio/x-raw-pcm", "X-Format": "i16"},
+        )
+        with urllib.request.urlopen(ok, timeout=30) as resp:
+            assert resp.status == 200
+    finally:
+        srv.shutdown()
+
+
+def test_max_streams_cap_returns_429():
+    srv = TranscriptionServer(FakePipeline(), max_streams=2)
+    port = srv.start_background(port=0)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _post(base + "/v1/stream/start", b"")
+        _post(base + "/v1/stream/start", b"")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base + "/v1/stream/start", b"")
+        assert e.value.code == 429
+        assert "max_streams" in json.loads(e.value.read())["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_queue_backpressure_returns_503():
+    """With the worker stuck decoding and the queue at max_queue_depth,
+    new requests shed with 503 + Retry-After instead of queueing
+    unboundedly."""
+    import threading
+    import time as _t
+
+    entered = threading.Event()
+    release = threading.Event()
+
+    class BlockingPipeline(FakePipeline):
+        def transcribe(self, audio, batch_size=8, **kw):
+            entered.set()
+            release.wait(10)
+            return super().transcribe(audio, batch_size=batch_size, **kw)
+
+    srv = TranscriptionServer(
+        BlockingPipeline(),
+        batch_config=BatchConfig(max_wait_ms=5, max_queue_depth=1),
+    )
+    port = srv.start_background(port=0)
+    base = f"http://127.0.0.1:{port}/v1/audio/transcriptions"
+    pcm = {"Content-Type": "audio/x-raw-pcm", "X-Format": "f32"}
+    body = np.zeros(1600, np.float32).tobytes()
+    t = threading.Thread(target=lambda: _post(base, body, pcm))
+    try:
+        t.start()
+        assert entered.wait(10)  # worker is busy inside the decode
+        srv.batcher.submit(np.zeros(1600, np.float32))  # fills depth 1
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base, body, pcm)
+        assert e.value.code == 503
+        assert e.value.headers.get("Retry-After") == "1"
+    finally:
+        release.set()
+        t.join(timeout=15)
+        srv.shutdown()
+
+
 def test_chunked_body_rejected_with_411():
     """A Transfer-Encoding: chunked POST gets a clean 411 and the server
     closes the connection — unread chunked frames must never be parsed

@@ -1,6 +1,7 @@
 from whisperx_tpu.serve.batching import (
     BatchConfig,
     ContinuousBatcher,
+    QueueFullError,
     RequestQueue,
     TranscriptionRequest,
     bucket_requests,
@@ -17,6 +18,7 @@ __all__ = [
     "TranscriptionServer",
     "BatchConfig",
     "ContinuousBatcher",
+    "QueueFullError",
     "RequestQueue",
     "TranscriptionRequest",
     "bucket_requests",

@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--batch_size", type=int, default=16, help="device decode batch size")
     parser.add_argument("--max_batch_size", type=int, default=8, help="max requests coalesced per serving batch")
     parser.add_argument("--max_wait_ms", type=float, default=100.0, help="max time to wait for batch stragglers")
+    parser.add_argument("--max_queue_depth", type=int, default=1024, help="shed requests with 503 past this many pending (0 = unbounded)")
+    parser.add_argument("--max_body_mb", type=int, default=256, help="reject request bodies over this size with 413")
+    parser.add_argument("--max_streams", type=int, default=64, help="cap concurrent streaming sessions (429 past this)")
     parser.add_argument("--word_timestamps", action="store_true", help="attach cross-attention DTW word timings to every segment")
     parser.add_argument("--draft_model", type=str, default=None, help="enable speculative decoding: draft checkpoint/name or 'self:N'")
     parser.add_argument("--spec_gamma", type=int, default=4, help="speculative draft length per verify step")
@@ -76,8 +79,12 @@ def main():
         pipeline,
         model_name=args.model,
         batch_config=BatchConfig(
-            max_batch_size=args.max_batch_size, max_wait_ms=args.max_wait_ms
+            max_batch_size=args.max_batch_size,
+            max_wait_ms=args.max_wait_ms,
+            max_queue_depth=args.max_queue_depth,
         ),
+        max_body_bytes=args.max_body_mb * 1024 * 1024,
+        max_streams=args.max_streams,
     )
     import signal
     import threading

@@ -54,6 +54,16 @@ class BatchConfig:
     # (first-call compiles can run minutes; callers fall back to inline
     # draining while the old worker winds down)
     stop_join_s: float = 5.0
+    # backpressure: submit() raises QueueFullError past this many pending
+    # requests (0 = unbounded). 1024 pending 30 s f32 clips ≈ 2 GB of
+    # host audio — bound it rather than OOM under a flood.
+    max_queue_depth: int = 1024
+
+
+class QueueFullError(RuntimeError):
+    """Backpressure signal: the request queue is at max_queue_depth.
+    Callers should shed the request (HTTP 503 + Retry-After) instead of
+    letting an unbounded queue absorb a flood until the host OOMs."""
 
 
 class RequestQueue:
@@ -64,8 +74,16 @@ class RequestQueue:
         self._cond = threading.Condition()
         self._counter = itertools.count()
 
-    def put(self, request: TranscriptionRequest) -> None:
+    def put(
+        self, request: TranscriptionRequest, max_depth: int = 0
+    ) -> None:
+        """Enqueue; with ``max_depth`` > 0, raise QueueFullError instead
+        of growing past it (internal sentinels pass 0 to bypass)."""
         with self._cond:
+            if max_depth and len(self._heap) >= max_depth:
+                raise QueueFullError(
+                    f"request queue at capacity ({max_depth})"
+                )
             heapq.heappush(self._heap, request)
             self._cond.notify()
 
@@ -183,7 +201,12 @@ class ContinuousBatcher:
             language=language,
             task=task,
         )
-        self.queue.put(req)
+        # the stop sentinel must always land (it unblocks the worker's
+        # queue wait), so it bypasses the depth cap
+        max_depth = (
+            0 if request_id == "__stop__" else self.config.max_queue_depth
+        )
+        self.queue.put(req, max_depth=max_depth)
         return req
 
     def transcribe(self, audio: np.ndarray, timeout: Optional[float] = None,

@@ -59,7 +59,11 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from whisperx_tpu.audio.constants import SAMPLE_RATE
-from whisperx_tpu.serve.batching import BatchConfig, ContinuousBatcher
+from whisperx_tpu.serve.batching import (
+    BatchConfig,
+    ContinuousBatcher,
+    QueueFullError,
+)
 from whisperx_tpu.serve.streaming import StreamingConfig, StreamingTranscriber
 
 
@@ -71,6 +75,16 @@ class _LengthRequired(Exception):
     """Request body without a Content-Length (chunked transfer coding):
     answered 411 and the connection closed, since an unread body would
     desync the keep-alive socket."""
+
+
+class _TooLarge(Exception):
+    """Request body over max_body_bytes: answered 413 and the connection
+    closed (reading the oversized body would be the memory DoS the cap
+    exists to prevent)."""
+
+
+class _ServerBusy(Exception):
+    """Stream-session table at max_streams: answered 429."""
 
 
 def _decode_body(body: bytes, content_type: str, headers) -> np.ndarray:
@@ -196,6 +210,8 @@ class TranscriptionServer:
         model_name: str = "",
         batch_config: Optional[BatchConfig] = None,
         stream_ttl_s: float = 900.0,
+        max_body_bytes: int = 256 * 1024 * 1024,  # ≈2.3 h of f32 PCM
+        max_streams: int = 64,
     ):
         self.pipeline = pipeline
         self.model_name = model_name
@@ -203,6 +219,8 @@ class TranscriptionServer:
         self.streams: dict[str, _StreamSession] = {}
         self._streams_lock = threading.Lock()
         self.stream_ttl_s = stream_ttl_s
+        self.max_body_bytes = max_body_bytes
+        self.max_streams = max_streams
         self.started_at = time.time()
         self._httpd: Optional[ThreadingHTTPServer] = None
 
@@ -235,6 +253,12 @@ class TranscriptionServer:
         tr = StreamingTranscriber(self.pipeline, cfg)
         sid = uuid.uuid4().hex[:12]
         with self._streams_lock:
+            if len(self.streams) >= self.max_streams:
+                # each session pins a ring buffer + results; cap the table
+                # so a client flood degrades to 429s, not an OOM
+                raise _ServerBusy(
+                    f"at max_streams ({self.max_streams}); retry later"
+                )
             self.streams[sid] = _StreamSession(tr)
         return sid
 
@@ -373,14 +397,19 @@ def _make_handler(app: TranscriptionServer):
                 # later request on this keep-alive socket
                 raise _LengthRequired()
             n = int(self.headers.get("Content-Length") or 0)
+            if n > app.max_body_bytes:
+                raise _TooLarge(
+                    f"body {n} bytes exceeds max_body_bytes "
+                    f"({app.max_body_bytes})"
+                )
             return self.rfile.read(n) if n else b""
 
-        def _reject_unsized(self):
-            body = json.dumps(
-                {"error": "Transfer-Encoding: chunked is unsupported; "
-                          "send Content-Length"}
-            ).encode()
-            self.send_response(411)
+        def _reject_and_close(self, code: int, message: str):
+            """Error out WITHOUT reading the request body (oversized or
+            unsized): the connection must close, since leftover body
+            bytes would desync the next keep-alive request."""
+            body = json.dumps({"error": message}).encode()
+            self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.send_header("Connection", "close")
@@ -396,7 +425,12 @@ def _make_handler(app: TranscriptionServer):
             try:
                 self._body()  # drain any (unusual) GET body — keep-alive safety
             except _LengthRequired:
-                self._reject_unsized()
+                self._reject_and_close(
+                    411, "Transfer-Encoding: chunked is unsupported; "
+                         "send Content-Length")
+                return
+            except _TooLarge as e:
+                self._reject_and_close(413, str(e))
                 return
             path = urlparse(self.path).path
             if path == "/healthz":
@@ -423,7 +457,12 @@ def _make_handler(app: TranscriptionServer):
             try:
                 body = self._body()
             except _LengthRequired:
-                self._reject_unsized()
+                self._reject_and_close(
+                    411, "Transfer-Encoding: chunked is unsupported; "
+                         "send Content-Length")
+                return
+            except _TooLarge as e:
+                self._reject_and_close(413, str(e))
                 return
             app._reap_streams()
             try:
@@ -480,6 +519,18 @@ def _make_handler(app: TranscriptionServer):
                 self._json(400, {"error": str(e)})
             except KeyError:
                 self._json(404, {"error": "unknown stream"})
+            except _ServerBusy as e:
+                self._json(429, {"error": str(e)})
+            except QueueFullError as e:
+                # shed load instead of queueing unboundedly; the client
+                # should back off briefly and retry
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(503)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
             except Exception as e:  # pragma: no cover - defensive
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
