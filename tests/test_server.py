@@ -246,6 +246,89 @@ def test_stream_ttl_reaps_abandoned_sessions():
         srv.shutdown()
 
 
+def _multipart(fields: dict) -> tuple:
+    """Build a multipart/form-data body: name -> bytes (file part) or str."""
+    boundary = "testboundary123"
+    out = b""
+    for name, val in fields.items():
+        out += f"--{boundary}\r\n".encode()
+        if isinstance(val, bytes):
+            out += (
+                f'Content-Disposition: form-data; name="{name}"; '
+                f'filename="clip.wav"\r\n'
+                "Content-Type: application/octet-stream\r\n\r\n"
+            ).encode() + val + b"\r\n"
+        else:
+            out += (
+                f'Content-Disposition: form-data; name="{name}"\r\n\r\n'
+                f"{val}\r\n"
+            ).encode()
+    out += f"--{boundary}--\r\n".encode()
+    return out, f"multipart/form-data; boundary={boundary}"
+
+
+def test_multipart_upload_openai_shape(server):
+    """An OpenAI-SDK-shaped multipart POST (file + model + response_format
+    form fields) transcribes and renders per response_format."""
+    srv, base = server
+    wav = _wav_bytes(synth_speech(2.0))
+    body, ctype = _multipart(
+        {"file": wav, "model": "whisper-1", "response_format": "text"}
+    )
+    req = urllib.request.Request(
+        base + "/v1/audio/transcriptions", data=body,
+        headers={"Content-Type": ctype},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        assert resp.read().decode().strip() == "ok"
+    # missing file field is a clean 400
+    body2, ctype2 = _multipart({"model": "whisper-1"})
+    req2 = urllib.request.Request(
+        base + "/v1/audio/transcriptions", data=body2,
+        headers={"Content-Type": ctype2},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req2, timeout=10)
+    assert e.value.code == 400
+    assert "file" in json.loads(e.value.read())["error"]
+
+
+@pytest.mark.parametrize("fmt,check", [
+    ("text", lambda b, h: b.decode().strip() == "ok"),
+    ("srt", lambda b, h: b.decode().startswith("1\n00:00:00,000 --> ")),
+    ("vtt", lambda b, h: b.decode().startswith("WEBVTT")),
+    ("tsv", lambda b, h: b.decode().splitlines()[0] == "start\tend\ttext"),
+    ("verbose_json", lambda b, h: (
+        json.loads(b)["text"] == "ok" and "duration" in json.loads(b)
+        and h["Content-Type"].startswith("application/json"))),
+])
+def test_response_format_rendering(server, fmt, check):
+    srv, base = server
+    req = urllib.request.Request(
+        base + f"/v1/audio/transcriptions?response_format={fmt}",
+        data=np.zeros(16000, np.float32).tobytes(),
+        headers={"Content-Type": "audio/x-raw-pcm", "X-Format": "f32"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 200
+        assert check(resp.read(), resp.headers)
+
+
+def test_unknown_response_format_400(server):
+    srv, base = server
+    req = urllib.request.Request(
+        base + "/v1/audio/transcriptions?response_format=yaml",
+        data=np.zeros(1600, np.float32).tobytes(),
+        headers={"Content-Type": "audio/x-raw-pcm", "X-Format": "f32"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+    assert "response_format" in json.loads(e.value.read())["error"]
+
+
 def test_oversized_body_rejected_with_413():
     """Bodies over max_body_bytes are refused BEFORE being read (reading
     them would be the memory DoS the cap prevents) and the connection

@@ -147,6 +147,71 @@ def _decode_body(body: bytes, content_type: str, headers) -> np.ndarray:
             raise _BadRequest(f"cannot decode audio body: {e}") from e
 
 
+def _parse_multipart(body: bytes, content_type: str) -> dict:
+    """Minimal multipart/form-data parser (stdlib-only; cgi was removed
+    in 3.13): name → (filename | None, raw bytes). Framing per RFC 7578:
+    ``--boundary CRLF headers CRLF CRLF content CRLF`` repeated, closed by
+    ``--boundary--``. Exactly one CRLF is trimmed around content — binary
+    payloads may legitimately start/end with 0x0d/0x0a bytes."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise _BadRequest("multipart body without a boundary parameter")
+    delim = b"--" + m.group(1).encode()
+    parts = {}
+    for seg in body.split(delim)[1:]:
+        if seg.startswith(b"--"):
+            break  # closing delimiter
+        if seg.startswith(b"\r\n"):
+            seg = seg[2:]
+        if seg.endswith(b"\r\n"):
+            seg = seg[:-2]
+        header_blob, sep, content = seg.partition(b"\r\n\r\n")
+        if not sep:
+            continue
+        disposition = header_blob.decode("utf-8", "replace")
+        nm = re.search(r'name="([^"]*)"', disposition)
+        if not nm:
+            continue
+        fn = re.search(r'filename="([^"]*)"', disposition)
+        parts[nm.group(1)] = (fn.group(1) if fn else None, content)
+    if not parts:
+        raise _BadRequest("empty multipart body")
+    return parts
+
+
+def _format_result(result: dict, fmt: str):
+    """Render a transcription result per OpenAI-style ``response_format``.
+    Returns (content_type, payload bytes). ``json`` is handled by the
+    caller (it keeps the richer native schema + request_id/wall_s)."""
+    segs = result.get("segments", [])
+    if fmt == "text":
+        text = "\n".join(s["text"].strip() for s in segs)
+        return "text/plain; charset=utf-8", text.encode()
+    if fmt == "verbose_json":
+        payload = {
+            "task": result.get("task", "transcribe"),
+            "language": result.get("language"),
+            "duration": round(max((s["end"] for s in segs), default=0.0), 3),
+            "text": " ".join(s["text"].strip() for s in segs).strip(),
+            "segments": segs,
+        }
+        return (
+            "application/json",
+            json.dumps(payload, ensure_ascii=False).encode(),
+        )
+    from whisperx_tpu.utils.writers import OPTIONAL_WRITERS, WRITERS
+
+    cls = {**WRITERS, **OPTIONAL_WRITERS}.get(fmt)
+    if cls is None:
+        raise _BadRequest(
+            f"unknown response_format {fmt!r} (use json, verbose_json, "
+            "text, srt, vtt, tsv, or aud)"
+        )
+    buf = io.StringIO()
+    cls(output_dir="").write_result(result, file=buf, options={})
+    return "text/plain; charset=utf-8", buf.getvalue().encode()
+
+
 def _parse_int(value, name: str, default: int) -> int:
     if value is None:
         return default
@@ -467,20 +532,67 @@ def _make_handler(app: TranscriptionServer):
             app._reap_streams()
             try:
                 if url.path == "/v1/audio/transcriptions":
-                    audio = _decode_body(
-                        body, self.headers.get("Content-Type"),
-                        self.headers,
-                    )
+                    ctype_full = self.headers.get("Content-Type") or ""
+                    fields = {}
+                    if (
+                        ctype_full.split(";")[0].strip().lower()
+                        == "multipart/form-data"
+                    ):
+                        # OpenAI-SDK-shaped upload: file + form fields
+                        fields = _parse_multipart(body, ctype_full)
+                        if "file" not in fields:
+                            raise _BadRequest(
+                                "multipart body missing a 'file' field"
+                            )
+                        audio = _decode_body(
+                            fields["file"][1], "application/octet-stream",
+                            self.headers,
+                        )
+                    else:
+                        audio = _decode_body(body, ctype_full, self.headers)
                     if len(audio) == 0:
                         raise _BadRequest("empty audio body")
+
+                    def fval(name):
+                        v = fields.get(name)
+                        return (
+                            v[1].decode("utf-8", "replace").strip()
+                            if v else None
+                        )
+
+                    # query params win over form fields
+                    fmt = (
+                        q.get("response_format") or fval("response_format")
+                        or "json"
+                    ).lower()
+                    if fmt not in (
+                        "json", "verbose_json", "text", "srt", "vtt",
+                        "tsv", "aud",
+                    ):
+                        raise _BadRequest(
+                            f"unknown response_format {fmt!r} (use json, "
+                            "verbose_json, text, srt, vtt, tsv, or aud)"
+                        )
                     result = app.transcribe(
                         audio,
                         priority=_parse_int(q.get("priority"), "priority", 10),
-                        language=_validated_language(q.get("language")),
-                        task=_validated_task(q.get("task")),
+                        language=_validated_language(
+                            q.get("language") or fval("language")
+                        ),
+                        task=_validated_task(q.get("task") or fval("task")),
                     )
-                    result["request_id"] = uuid.uuid4().hex[:12]
-                    self._json(200, result)
+                    if fmt == "json":
+                        result["request_id"] = uuid.uuid4().hex[:12]
+                        self._json(200, result)
+                    else:
+                        ctype_out, payload = _format_result(result, fmt)
+                        self.send_response(200)
+                        self.send_header("Content-Type", ctype_out)
+                        self.send_header(
+                            "Content-Length", str(len(payload))
+                        )
+                        self.end_headers()
+                        self.wfile.write(payload)
                 elif url.path == "/v1/stream/start":
                     sid = app.open_stream(
                         partial_interval=_parse_float(
