@@ -434,6 +434,69 @@ def test_transcribe_many_per_request_language(nano_model, monkeypatch):
     assert "hello" in results[1]["segments"][0]["text"]
 
 
+def test_transcribe_many_per_request_initial_prompt(nano_model, monkeypatch):
+    """Per-request initial_prompt LISTS: the prompt conditions the decode
+    prefix, so prompted and unprompted requests decode in separate
+    groups, and the prompt tokens reach DecodingOptions."""
+    import whisperx_tpu.asr as asr_mod
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.decoding import get_tokenizer as _gt
+    from whisperx_tpu.decoding.decode import DecodingResult
+    from whisperx_tpu.vad.types import SpeechSegment
+
+    _tok = _gt(True, language="en")
+    prompts_used = []
+
+    def fake_dispatch(model, mel, opts, **kw):
+        prompts_used.append(opts.prompt)
+        return {
+            "done": [
+                DecodingResult(
+                    audio_features=None, language=opts.language,
+                    tokens=list(_tok.encode(" x")), text="x",
+                    avg_logprob=-0.1, no_speech_prob=0.0,
+                    temperature=0.0, compression_ratio=1.0,
+                )
+                for _ in range(mel.shape[0])
+            ]
+        }
+
+    monkeypatch.setattr(asr_mod, "decode_dispatch", fake_dispatch)
+
+    class StubVAD:
+        vad_onset = 0.5
+        vad_offset = 0.363
+
+        def __call__(self, inp, max_speech_duration_s=30):
+            dur = len(inp["waveform"]) / inp["sample_rate"]
+            return [SpeechSegment(start=0.5, end=min(6.0, dur))]
+
+    pipe = TranscriptionPipeline(
+        model=nano_model,
+        vad_model=StubVAD(),
+        asr_options={
+            "temperatures": (0.0,),
+            "no_speech_threshold": None,
+            "log_prob_threshold": None,
+            "compression_ratio_threshold": None,
+            "without_timestamps": True,
+        },
+        language="en",
+        batch_size=8,
+    )
+    audios = [np.zeros(16000 * 7, np.float32) for _ in range(2)]
+    results = pipe.transcribe_many(
+        audios, initial_prompt=["glossary: TPU, XLA", None]
+    )
+    assert len(prompts_used) == 2  # one decode group per distinct prompt
+    with_prompt = [p for p in prompts_used if p]
+    assert len(with_prompt) == 1
+    assert list(with_prompt[0]) == list(
+        _tok.encode(" " + "glossary: TPU, XLA")
+    )
+    assert all(len(r["segments"]) == 1 for r in results)
+
+
 def test_transcribe_many_explicit_per_request_options(nano_model, monkeypatch):
     """Explicit per-request language/task LISTS: decode groups by
     (language, task) and no detection runs for explicit entries."""

@@ -316,6 +316,23 @@ def test_response_format_rendering(server, fmt, check):
         assert check(resp.read(), resp.headers)
 
 
+def test_prompt_param_reaches_pipeline(server):
+    """?prompt= (or the multipart 'prompt' field) rides the request into
+    the pipeline as initial_prompt."""
+    srv, base = server
+    req = urllib.request.Request(
+        base + "/v1/audio/transcriptions?prompt=glossary:%20XLA",
+        data=np.zeros(1600, np.float32).tobytes(),
+        headers={"Content-Type": "audio/x-raw-pcm", "X-Format": "f32"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 200
+    assert any(
+        kw.get("initial_prompt") == "glossary: XLA"
+        for _, kw in srv.pipeline.calls
+    )
+
+
 def test_unknown_response_format_400(server):
     srv, base = server
     req = urllib.request.Request(

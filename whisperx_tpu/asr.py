@@ -291,6 +291,7 @@ class TranscriptionPipeline:
         chunk_size: float = 30,
         language: Optional[Union[str, List[Optional[str]]]] = None,
         task: Optional[Union[str, List[Optional[str]]]] = None,
+        initial_prompt: Optional[Union[str, List[Optional[str]]]] = None,
     ) -> List[TranscriptionResult]:
         """Cross-request coalescing: VAD every audio, pool ALL requests'
         chunks into one shared decode stream (chunks from different
@@ -299,9 +300,11 @@ class TranscriptionPipeline:
         the reference batches across requests too
         (mlx_continuous_batching.py:229-304), but loops the actual decode.
 
-        ``language`` / ``task`` may be a single value for all requests or a
-        per-request list (None entries auto-detect / default); requests are
-        grouped by (language, task) and each group shares device batches.
+        ``language`` / ``task`` / ``initial_prompt`` may be a single value
+        for all requests or a per-request list (None entries auto-detect /
+        default); requests are grouped by (language, task, prompt) and
+        each group shares device batches (the prompt conditions the decode
+        prefix, so it must be uniform within a device batch).
         """
         import bisect
         import math
@@ -319,6 +322,7 @@ class TranscriptionPipeline:
 
         batch_size = batch_size or self.batch_size
         req_tasks = _per_request(task, self.task)
+        req_prompts = _per_request(initial_prompt, None)
         req_langs = [
             normalize_language(lg)
             for lg in _per_request(language, self.language)
@@ -335,8 +339,11 @@ class TranscriptionPipeline:
                     chunk_size=chunk_size,
                     language=lg,
                     task=tk,
+                    initial_prompt=pr,
                 )
-                for a, lg, tk in zip(audios, req_langs, req_tasks)
+                for a, lg, tk, pr in zip(
+                    audios, req_langs, req_tasks, req_prompts
+                )
             ]
 
         from whisperx_tpu.utils.metrics import GLOBAL_TRACKER as _tracker
@@ -395,9 +402,11 @@ class TranscriptionPipeline:
         groups: dict = {}
         for r, lg in enumerate(langs):
             if per_chunks[r]:
-                groups.setdefault((lg, req_tasks[r]), []).append(r)
+                groups.setdefault(
+                    (lg, req_tasks[r], req_prompts[r]), []
+                ).append(r)
 
-        for (lg, tk), req_idxs in groups.items():
+        for (lg, tk, prompt), req_idxs in groups.items():
             pooled: List[dict] = []
             mel_parts = []
             group_bases = [bases[r] for r in req_idxs]
@@ -417,7 +426,8 @@ class TranscriptionPipeline:
                 else mel_parts[0]
             )
             segments = self._transcribe_chunks(
-                None, pooled, batch_size=batch_size, language=lg, task=tk, mels=mels
+                None, pooled, batch_size=batch_size, language=lg, task=tk,
+                mels=mels, initial_prompt=prompt,
             )
             for seg in segments:
                 g = bisect.bisect_right(group_bases, seg["start"] + 1e-6) - 1

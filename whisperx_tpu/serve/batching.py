@@ -39,9 +39,11 @@ class TranscriptionRequest:
     callback: Optional[Callable] = field(compare=False, default=None)
     result: Any = field(compare=False, default=None)
     done: threading.Event = field(compare=False, default_factory=threading.Event)
-    # per-request decode options (language/task); None = pipeline default
+    # per-request decode options (language/task/prompt); None = pipeline
+    # default
     language: Optional[str] = field(compare=False, default=None)
     task: Optional[str] = field(compare=False, default=None)
+    initial_prompt: Optional[str] = field(compare=False, default=None)
 
 
 @dataclass
@@ -190,6 +192,7 @@ class ContinuousBatcher:
         callback: Optional[Callable] = None,
         language: Optional[str] = None,
         task: Optional[str] = None,
+        initial_prompt: Optional[str] = None,
     ) -> TranscriptionRequest:
         req = TranscriptionRequest(
             priority=priority,
@@ -200,6 +203,7 @@ class ContinuousBatcher:
             callback=callback,
             language=language,
             task=task,
+            initial_prompt=initial_prompt,
         )
         # the stop sentinel must always land (it unblocks the worker's
         # queue wait), so it bypasses the depth cap
@@ -211,9 +215,10 @@ class ContinuousBatcher:
 
     def transcribe(self, audio: np.ndarray, timeout: Optional[float] = None,
                    priority: int = 10, language: Optional[str] = None,
-                   task: Optional[str] = None):
+                   task: Optional[str] = None,
+                   initial_prompt: Optional[str] = None):
         req = self.submit(audio, priority=priority, language=language,
-                          task=task)
+                          task=task, initial_prompt=initial_prompt)
         # no live worker (never started, stopped, or stopping): drain
         # inline — but a CONCURRENT workerless caller may drain this
         # request into ITS batch, so never block forever on an empty
@@ -294,11 +299,13 @@ class ContinuousBatcher:
                         [r.audio for r in reqs],
                         language=[r.language for r in reqs],
                         task=[r.task for r in reqs],
+                        initial_prompt=[r.initial_prompt for r in reqs],
                     )
                 else:
                     results = [
                         self.pipeline.transcribe(
-                            r.audio, language=r.language, task=r.task
+                            r.audio, language=r.language, task=r.task,
+                            initial_prompt=r.initial_prompt,
                         )
                         for r in reqs
                     ]

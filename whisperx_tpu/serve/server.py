@@ -292,7 +292,8 @@ class TranscriptionServer:
     # -- request handling ----------------------------------------------------
 
     def transcribe(self, audio: np.ndarray, priority: int = 10, timeout=600.0,
-                   language: Optional[str] = None, task: Optional[str] = None):
+                   language: Optional[str] = None, task: Optional[str] = None,
+                   initial_prompt: Optional[str] = None):
         t0 = time.monotonic()
         # batcher.transcribe owns the workerless inline-drain fallback
         # (and its concurrent-caller semantics) — don't duplicate it here
@@ -300,6 +301,7 @@ class TranscriptionServer:
             self.batcher.transcribe(
                 audio, timeout=timeout, priority=priority,
                 language=language, task=task,
+                initial_prompt=initial_prompt,
             )
             or {}
         )
@@ -580,6 +582,7 @@ def _make_handler(app: TranscriptionServer):
                             q.get("language") or fval("language")
                         ),
                         task=_validated_task(q.get("task") or fval("task")),
+                        initial_prompt=q.get("prompt") or fval("prompt"),
                     )
                     if fmt == "json":
                         result["request_id"] = uuid.uuid4().hex[:12]
