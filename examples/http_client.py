@@ -29,14 +29,27 @@ def main():
     ap.add_argument("--url", default="http://127.0.0.1:9090")
     ap.add_argument("--stream", action="store_true",
                     help="feed audio as live 0.5 s PCM chunks instead")
+    ap.add_argument("--format", default=None, dest="response_format",
+                    help="response_format: text/srt/vtt/tsv/verbose_json "
+                         "(default: native json)")
     args = ap.parse_args()
 
     if not args.stream:
+        path = "/v1/audio/transcriptions"
         with open(args.audio, "rb") as f:
-            result = post(
-                args.url + "/v1/audio/transcriptions", f.read(),
-                {"Content-Type": "audio/wav"},
+            body = f.read()
+        if args.response_format:
+            # non-json formats come back as rendered text (e.g. ready-to-
+            # save subtitles), exactly what the CLI writers would produce
+            req = urllib.request.Request(
+                args.url + path + f"?response_format={args.response_format}",
+                data=body, method="POST",
+                headers={"Content-Type": "audio/wav"},
             )
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                sys.stdout.write(resp.read().decode())
+            return
+        result = post(args.url + path, body, {"Content-Type": "audio/wav"})
         for seg in result["segments"]:
             print(f"[{seg['start']:7.2f} --> {seg['end']:7.2f}] {seg['text']}")
         print(f"({result['wall_s']} s wall)", file=sys.stderr)

@@ -661,6 +661,51 @@ def test_incremental_decoder_budget_below_bucket(nano_model):
         assert len(info["tokens"]) <= 64
 
 
+def test_streaming_final_decodes_bucket_to_whole_seconds(speech_5s):
+    """Flushed chunks are padded to a whole-second grid before decoding:
+    ragged lengths would each compile a fresh XLA program for the
+    upload/VAD/mel stages, compile-storming long-lived streams. Entry
+    timestamps still reflect the TRUE chunk length."""
+    pipe = FakePipeline()
+    st = StreamingTranscriber(
+        pipe,
+        StreamingConfig(min_chunk_seconds=0.2, max_latency_seconds=1.0),
+    )
+    st.feed(speech_5s[: int(16000 * 2.37)])  # ragged: 2.37 s
+    st.process_available()
+    results = st.stop()
+    assert pipe.calls, "no decode ran"
+    assert all(n % 16000 == 0 for n in pipe.calls), (
+        f"unbucketed decode lengths: {pipe.calls}"
+    )
+    # bookkeeping uses the true length: ends cover exactly the fed audio
+    assert results and abs(results[-1]["end"] - 2.37) < 0.05
+
+
+def test_streaming_prompt_tokens_fixed_length(nano_model):
+    """Prev-text prompts reach the decode as EXACTLY PROMPT_TOKENS token
+    ids once enough text has accumulated (every distinct prompt length is
+    a distinct ~45 MB decode program; raw text prompts recompiled per
+    flush) — and as None before the window fills."""
+
+    class ModelPipeline:
+        model = nano_model
+
+        def transcribe(self, audio, **kw):
+            return {"segments": [], "language": "en"}
+
+    st = StreamingTranscriber(ModelPipeline(), StreamingConfig())
+    st._prev_text = "short"
+    assert st._prompt_tokens() is None  # below the window: no prompt yet
+    st._prev_text = " ".join(["conditioning"] * 60)
+    toks = st._prompt_tokens()
+    assert isinstance(toks, list) and len(toks) == st.PROMPT_TOKENS
+    assert all(isinstance(t, int) for t in toks)
+    # stable length: more text must not change the program shape
+    st._prev_text += " even more words arrive over time"
+    assert len(st._prompt_tokens()) == st.PROMPT_TOKENS
+
+
 def test_streaming_feed_times_pruned(speech_5s):
     """Consumed feed-time entries are dropped — a live-mic stream feeding
     small packets must not grow _feed_times without bound."""

@@ -72,17 +72,37 @@ def main():
     # warmup: compile the decode + partial programs out of the measurement —
     # including the prefix-bucket-32 partial shape (committed prefixes
     # bucket to multiples of 32; each distinct bucket is its own compile)
-    pipeline.transcribe(speech[: 16000 * 2])
-    from whisperx_tpu.serve.streaming import IncrementalUtteranceDecoder
+    # chunk-final decodes arrive bucketed to whole seconds (streaming.py
+    # _emit); with max_latency 5 s the reachable buckets are 1..6 s —
+    # warm each so no full-pipeline compile lands mid-stream. Prompted
+    # chunks (prev-text conditioning) use ONE fixed 32-token prompt
+    # program (StreamingTranscriber.PROMPT_TOKENS) — warm it too.
+    from whisperx_tpu.serve.streaming import (
+        IncrementalUtteranceDecoder,
+        StreamingTranscriber,
+    )
+
+    for sec in range(1, 7):
+        pipeline.transcribe(speech[: 16000 * sec])
+    # the decode program depends on the prompt LENGTH, not the audio
+    # length — one prompted call warms it for every bucket
+    prompt32 = list(range(300, 300 + StreamingTranscriber.PROMPT_TOKENS))
+    pipeline.transcribe(speech[: 16000 * 6], initial_prompt=prompt32)
 
     budget = min(224, 2 * args.sample_len)
     warm = IncrementalUtteranceDecoder(
         pipeline.model, language="en", token_budget=budget
     )
     warm.partial(speech[: 16000 * 2])
-    warm.stable = list(range(200, 200 + warm.PREFIX_BUCKET))
-    warm._last_full = None
-    warm.partial(speech[: 16000 * 2])
+    # warm EVERY prefix bucket the stream can reach: committed prefixes
+    # grow by PREFIX_BUCKET steps as the utterance lengthens, and each
+    # distinct bucket is its own jit program — left cold, those compiles
+    # land MID-STREAM and pollute the latency tail with ~90 s outliers
+    # (observed: p90 75 s on a run that warmed only the first bucket)
+    for n_stable in range(warm.PREFIX_BUCKET, budget, warm.PREFIX_BUCKET):
+        warm.stable = list(range(200, 200 + n_stable))
+        warm._last_full = None
+        warm.partial(speech[: 16000 * 2])
 
     st = StreamingTranscriber(
         pipeline,

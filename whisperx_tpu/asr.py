@@ -322,7 +322,10 @@ class TranscriptionPipeline:
 
         batch_size = batch_size or self.batch_size
         req_tasks = _per_request(task, self.task)
-        req_prompts = _per_request(initial_prompt, None)
+        req_prompts = [
+            tuple(p) if isinstance(p, list) else p
+            for p in _per_request(initial_prompt, None)
+        ]  # tuples: prompts key decode groups, so they must be hashable
         req_langs = [
             normalize_language(lg)
             for lg in _per_request(language, self.language)
@@ -800,7 +803,12 @@ class TranscriptionPipeline:
             return True
         return False
 
-    def model_prompt(self, initial_prompt: str):
+    def model_prompt(self, initial_prompt):
+        """Prompt text → token ids. Pre-tokenized sequences pass through:
+        shape-stable callers (streaming) bucket prompt lengths themselves,
+        since every distinct prompt length is a distinct decode program."""
+        if isinstance(initial_prompt, (list, tuple)):
+            return list(initial_prompt)
         tok = get_tokenizer(
             self.model.is_multilingual,
             num_languages=self.model.num_languages,

@@ -209,7 +209,11 @@ def transcribe(
     all_segments: List[dict] = []
     prompt_reset_since = 0
     if initial_prompt is not None:
-        initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
+        initial_prompt_tokens = (
+            list(initial_prompt)
+            if isinstance(initial_prompt, (list, tuple))
+            else tokenizer.encode(" " + initial_prompt.strip())
+        )
         all_tokens.extend(initial_prompt_tokens)
     else:
         initial_prompt_tokens = []

@@ -402,15 +402,56 @@ class StreamingTranscriber:
             self.process_available()
             time.sleep(0.05)
 
+    PROMPT_TOKENS = 32  # fixed prev-text prompt length (shape stability)
+
+    def _prompt_tokens(self):
+        """Prev-text conditioning as EXACTLY PROMPT_TOKENS token ids (or
+        none): every distinct prompt length is a distinct decode program
+        (initial_tokens shape feeds the jit), so raw text prompts — whose
+        token count grows every chunk — would recompile the ~45 MB decode
+        program per flush, stalling live streams for minutes. One fixed
+        length ⇒ exactly two programs per stream (unprompted, prompted).
+        Conditioning quality is unaffected: prev-text is a rolling window
+        anyway (reference mlx_streaming.py keeps a text suffix)."""
+        from whisperx_tpu.decoding import get_tokenizer
+
+        model = getattr(self.pipeline, "model", None)
+        if model is None:  # pipeline without a tokenizer surface: raw text
+            return self._prev_text[-200:]
+        tok = get_tokenizer(
+            model.is_multilingual,
+            num_languages=model.num_languages,
+            vocab_path=model.vocab_path,
+        )
+        ids = tok.encode(" " + self._prev_text[-200:].strip())
+        if len(ids) < self.PROMPT_TOKENS:
+            return None  # wait until a full window accumulates
+        return ids[-self.PROMPT_TOKENS:]
+
     def _emit(self, chunk: np.ndarray, final: bool) -> None:
         kwargs = {}
         if self.config.condition_on_previous_text and self._prev_text:
             # previous committed text conditions the next chunk's decode
             # (reference mlx_streaming.py prev-text via initial_prompt)
-            kwargs = {"initial_prompt": self._prev_text[-200:]}
+            toks = self._prompt_tokens()
+            if toks:
+                kwargs = {"initial_prompt": toks}
         if self.config.language:
             kwargs["language"] = self.config.language
-        result = self.pipeline.transcribe(chunk, **kwargs)
+        # Bucket the flushed chunk to a whole-second grid before decoding:
+        # streaming flushes are naturally ragged (silence boundaries /
+        # max-latency cuts), and every distinct length is its own XLA
+        # program for the upload/VAD/mel stages — unpadded, a stream
+        # compile-storms indefinitely (measured: ~90 s stalls mid-stream).
+        # Trailing zeros are silence: VAD drops them, timestamps and text
+        # are unaffected; all bookkeeping below uses the true length.
+        sr = self.config.sample_rate
+        bucket = -(-len(chunk) // sr) * sr
+        padded = (
+            np.pad(chunk, (0, bucket - len(chunk)))
+            if bucket > len(chunk) else chunk
+        )
+        result = self.pipeline.transcribe(padded, **kwargs)
         self._consumed += len(chunk)
         t_fed = self._feed_time_for(self._consumed)
         text = " ".join(s["text"].strip() for s in result["segments"]).strip()
