@@ -735,3 +735,51 @@ def test_draft_model_clears_beam_size_with_warning(nano_model):
         )
     assert pipe.asr_options["beam_size"] is None
     assert any("greedy-only" in str(r.message) for r in rec)
+
+
+def test_streaming_segments_rebased_to_stream_clock():
+    """Entry segments (and DTW words) carry stream-absolute times, not
+    chunk-relative ones: a caption consumer concatenating entries must
+    not see every chunk restart at t=0 (the reference's streaming
+    emitter leaves them chunk-relative, mlx_streaming.py:300-312)."""
+
+    class WordPipeline(FakePipeline):
+        def transcribe(self, audio, batch_size=8, **kw):
+            dur = len(audio) / 16000
+            return {
+                "segments": [
+                    {
+                        "start": 0.25,
+                        "end": min(0.75, dur),
+                        "text": "hi",
+                        "words": [
+                            {"word": " hi", "start": 0.3, "end": 0.6},
+                            {"word": " ?"},  # timing failed: no start/end
+                        ],
+                    }
+                ],
+                "language": "en",
+            }
+
+    st = StreamingTranscriber(
+        WordPipeline(),
+        StreamingConfig(min_chunk_seconds=0.5, max_latency_seconds=0.0),
+    )
+    rng = np.random.default_rng(0)
+    chunk = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+    st.feed(chunk)
+    st.process_available()
+    st.feed(chunk)
+    st.process_available()
+    finals = [r for r in st.stop() if not r["provisional"]]
+    assert len(finals) >= 2
+    s0, s1 = finals[0]["segments"][0], finals[1]["segments"][0]
+    assert s0["start"] == pytest.approx(0.25, abs=1e-3)
+    base1 = finals[1]["start"]
+    assert base1 > 0
+    assert s1["start"] == pytest.approx(base1 + 0.25, abs=1e-3)
+    assert s1["end"] <= finals[1]["end"] + 1e-6
+    words = s1["words"]
+    assert words[0]["start"] == pytest.approx(base1 + 0.3, abs=1e-3)
+    assert words[0]["end"] == pytest.approx(base1 + 0.6, abs=1e-3)
+    assert "start" not in words[1]  # untimed word passes through intact

@@ -428,6 +428,33 @@ class StreamingTranscriber:
             return None  # wait until a full window accumulates
         return ids[-self.PROMPT_TOKENS:]
 
+    def _rebase_segment(self, seg: dict, chunk_extent_s: float) -> dict:
+        """Rebase a chunk-relative segment (and any DTW words on it) onto
+        the stream clock, so consumers can assemble a live transcript /
+        caption track without knowing chunk boundaries. Times are clamped
+        to the chunk's true extent first: the decode ran on the padded
+        bucket, and a timestamp landing in the trailing silence pad would
+        otherwise bleed past this entry's window. The reference's
+        streaming emitter leaves segment times chunk-relative
+        (mlx_streaming.py:300-312 only tags the whole result)."""
+        base = self._offset_s
+
+        def shift(t):
+            return round(min(float(t), chunk_extent_s) + base, 3)
+
+        out = dict(seg)
+        out["start"], out["end"] = shift(seg["start"]), shift(seg["end"])
+        if seg.get("words"):
+            # word timing can fail for individual words (no start/end key)
+            out["words"] = [
+                {
+                    **w,
+                    **{k: shift(w[k]) for k in ("start", "end") if k in w},
+                }
+                for w in seg["words"]
+            ]
+        return out
+
     def _emit(self, chunk: np.ndarray, final: bool) -> None:
         kwargs = {}
         if self.config.condition_on_previous_text and self._prev_text:
@@ -454,14 +481,19 @@ class StreamingTranscriber:
         result = self.pipeline.transcribe(padded, **kwargs)
         self._consumed += len(chunk)
         t_fed = self._feed_time_for(self._consumed)
-        text = " ".join(s["text"].strip() for s in result["segments"]).strip()
+        true_extent = len(chunk) / self.config.sample_rate
+        segments = [
+            self._rebase_segment(s, true_extent)
+            for s in result["segments"]
+        ]
+        text = " ".join(s["text"].strip() for s in segments).strip()
         entry = {
             "text": text,
             "start": self._offset_s,
-            "end": self._offset_s + len(chunk) / self.config.sample_rate,
+            "end": self._offset_s + true_extent,
             "final": final,
             "provisional": False,
-            "segments": result["segments"],
+            "segments": segments,
         }
         if t_fed is not None:
             entry["latency_s"] = round(time.monotonic() - t_fed, 4)
