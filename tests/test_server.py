@@ -678,3 +678,45 @@ def test_concurrent_clients_all_served_and_coalesced():
         assert len(pipe.many_calls) < 16
     finally:
         srv.shutdown()
+
+
+def test_align_param_attaches_word_scaffolding(server):
+    """?align=true runs stage-3 (wav2vec2 alignment) per request: the
+    result gains word_segments and per-segment word lists (conftest sets
+    WHISPERX_TPU_ALLOW_RANDOM_ALIGN, so the random-weight aligner runs a
+    real forward; a hermetic install without it returns empty words via
+    the alignment/__init__.py guard — both are structurally aligned)."""
+    srv, base = server
+    status, payload = _post(
+        base + "/v1/audio/transcriptions?align=true",
+        _wav_bytes(synth_speech(2.0)),
+        {"Content-Type": "audio/wav"},
+    )
+    assert status == 200
+    assert "word_segments" in payload
+    assert isinstance(payload["segments"][0]["words"], list)
+    assert "wall_s" in payload
+
+
+def test_diarize_param_labels_speakers(server):
+    """?diarize=true runs stage-4 per request (weightless spectral path
+    on a hermetic install) and labels segments with speakers."""
+    srv, base = server
+    status, payload = _post(
+        base + "/v1/audio/transcriptions?diarize=true&max_speakers=2",
+        _wav_bytes(synth_speech(3.0)),
+        {"Content-Type": "audio/wav"},
+    )
+    assert status == 200
+    assert payload["segments"][0].get("speaker", "").startswith("SPEAKER_")
+
+
+def test_bad_align_param_is_400(server):
+    srv, base = server
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(
+            base + "/v1/audio/transcriptions?align=maybe",
+            _wav_bytes(synth_speech(0.5)),
+            {"Content-Type": "audio/wav"},
+        )
+    assert exc.value.code == 400

@@ -35,8 +35,24 @@ HOP_S = 0.5
 EMBED_WINDOW_S = 2.0  # fixed embedding input length (equal-length batching)
 
 
+def _plain_df(data=None, columns=None) -> pd.DataFrame:
+    """DataFrame constructed on the legacy numpy-object string path.
+
+    pandas 3's default arrow-backed ``str`` dtype routes every string
+    column AND the column-name Index through pyarrow; on this stack that
+    segfaults when the table is first built from an HTTP handler thread
+    after a JAX forward ran in a sibling thread (reproduced via
+    tests/test_server.py align→diarize round-trips; not reproducible
+    outside that threading pattern). These are ~K-row host-side tables —
+    arrow buys nothing, so pin the object path at construction."""
+    with pd.option_context(
+        "future.infer_string", False, "mode.string_storage", "python"
+    ):
+        return pd.DataFrame(data, columns=columns)
+
+
 def _empty_df() -> pd.DataFrame:
-    return pd.DataFrame(columns=["segment", "label", "speaker", "start", "end"])
+    return _plain_df(columns=["segment", "label", "speaker", "start", "end"])
 
 
 class DiarizationPipeline:
@@ -117,17 +133,15 @@ class DiarizationPipeline:
             df = _empty_df()
             return (df, None) if return_embeddings else df
 
-        rows = [
+        df = _plain_df(
             {
-                "segment": (s, e),
-                "label": spk,
-                "speaker": spk,
-                "start": s,
-                "end": e,
+                "segment": [(s, e) for s, e, _ in turns],
+                "label": [spk for _, _, spk in turns],
+                "speaker": [spk for _, _, spk in turns],
+                "start": np.array([s for s, _, _ in turns], np.float64),
+                "end": np.array([e for _, e, _ in turns], np.float64),
             }
-            for s, e, spk in turns
-        ]
-        df = pd.DataFrame(rows)
+        )
 
         if return_embeddings:
             speaker_embeddings = {}

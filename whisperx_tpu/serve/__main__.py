@@ -29,6 +29,8 @@ def main():
     parser.add_argument("--max_body_mb", type=int, default=256, help="reject request bodies over this size with 413")
     parser.add_argument("--max_streams", type=int, default=64, help="cap concurrent streaming sessions (429 past this)")
     parser.add_argument("--word_timestamps", action="store_true", help="attach cross-attention DTW word timings to every segment")
+    parser.add_argument("--align_model", type=str, default=None, help="wav2vec2 checkpoint/name for per-request ?align=true (default: per-language registry)")
+    parser.add_argument("--diarize_model", type=str, default=None, help="diarization checkpoint/name for per-request ?diarize=true")
     parser.add_argument("--draft_model", type=str, default=None, help="enable speculative decoding: draft checkpoint/name or 'self:N'")
     parser.add_argument("--spec_gamma", type=int, default=4, help="speculative draft length per verify step")
     parser.add_argument("--data_parallel", type=str, default="auto", choices=["auto", "on", "off"], help="shard decode batches over all local devices (auto: when >1 device)")
@@ -85,6 +87,8 @@ def main():
         ),
         max_body_bytes=args.max_body_mb * 1024 * 1024,
         max_streams=args.max_streams,
+        align_model=args.align_model,
+        diarize_model=args.diarize_model,
     )
     import signal
     import threading

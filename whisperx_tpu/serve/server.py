@@ -15,6 +15,9 @@ POST /v1/audio/transcriptions     body = WAV bytes (any container when
                                   Content-Type audio/x-raw-pcm and headers
                                   X-Sample-Rate / X-Format (f32|i16).
                                   Query: ?language=..&priority=N
+                                  ?align=true (wav2vec2 word alignment)
+                                  ?diarize=true&num/min/max_speakers=K
+                                  (speaker labels on segments/words)
                                   → JSON {segments, language, request_id,
                                           wall_s}
 POST /v1/stream/start             → {stream_id}; query params configure
@@ -230,6 +233,17 @@ def _parse_float(value, name: str):
         raise _BadRequest(f"{name} must be a number, got {value!r}")
 
 
+def _parse_bool(value, name: str) -> bool:
+    if value is None:
+        return False
+    v = str(value).strip().lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("", "0", "false", "no", "off"):
+        return False
+    raise _BadRequest(f"{name} must be a boolean, got {value!r}")
+
+
 def _validated_language(value):
     """Normalize a client-supplied language or raise _BadRequest — client
     input must never reach the batcher worker unvalidated."""
@@ -277,6 +291,8 @@ class TranscriptionServer:
         stream_ttl_s: float = 900.0,
         max_body_bytes: int = 256 * 1024 * 1024,  # ≈2.3 h of f32 PCM
         max_streams: int = 64,
+        align_model: Optional[str] = None,
+        diarize_model: Optional[str] = None,
     ):
         self.pipeline = pipeline
         self.model_name = model_name
@@ -286,6 +302,14 @@ class TranscriptionServer:
         self.stream_ttl_s = stream_ttl_s
         self.max_body_bytes = max_body_bytes
         self.max_streams = max_streams
+        self.align_model = align_model
+        self.diarize_model = diarize_model
+        # lazily built post-stages (stage 3/4 of the UnifiedPipeline);
+        # the lock guards construction only — inference calls are jitted
+        # JAX programs and safe to invoke from concurrent handler threads
+        self._aligners: dict[str, tuple] = {}
+        self._diarizer = None
+        self._post_lock = threading.Lock()
         self.started_at = time.time()
         self._httpd: Optional[ThreadingHTTPServer] = None
 
@@ -308,6 +332,70 @@ class TranscriptionServer:
         if set(result) == {"error"}:  # batch failed; surface, don't fake a 200
             raise RuntimeError(result["error"])
         result["wall_s"] = round(time.monotonic() - t0, 3)
+        return result
+
+    def _get_aligner(self, language: str):
+        with self._post_lock:
+            if language not in self._aligners:
+                from whisperx_tpu.alignment import load_align_model
+
+                try:
+                    self._aligners[language] = load_align_model(
+                        language, model_name=self.align_model
+                    )
+                except ValueError as e:  # no align model for this language
+                    raise _BadRequest(str(e)) from e
+            return self._aligners[language]
+
+    def _get_diarizer(self):
+        with self._post_lock:
+            if self._diarizer is None:
+                from whisperx_tpu.diarize import DiarizationPipeline
+
+                self._diarizer = DiarizationPipeline(
+                    model_name=self.diarize_model
+                )
+            return self._diarizer
+
+    def postprocess(
+        self,
+        audio: np.ndarray,
+        result: dict,
+        *,
+        align: bool = False,
+        diarize: bool = False,
+        num_speakers: Optional[int] = None,
+        min_speakers: Optional[int] = None,
+        max_speakers: Optional[int] = None,
+    ) -> dict:
+        """Per-request stages 3/4 of the UnifiedPipeline (reference
+        pipeline.py:201-246): wav2vec2 word alignment and speaker
+        diarization over the already-decoded audio. Runs in the handler
+        thread — only the ASR decode goes through the batcher, since
+        align/diarize inputs (segment lists, per-request audio) don't
+        coalesce across requests. Post-stage time is folded into the
+        result's wall_s."""
+        t0 = time.monotonic()
+        if align and result.get("segments"):
+            from whisperx_tpu.alignment import align as _align
+
+            model, meta = self._get_aligner(result.get("language") or "en")
+            aligned = _align(result["segments"], model, meta, audio)
+            result = {**result, **aligned}
+        if diarize:
+            from whisperx_tpu.diarize import assign_word_speakers
+
+            df = self._get_diarizer()(
+                audio,
+                num_speakers=num_speakers,
+                min_speakers=min_speakers,
+                max_speakers=max_speakers,
+            )
+            result = assign_word_speakers(df, result)
+        if "wall_s" in result:
+            result["wall_s"] = round(
+                result["wall_s"] + (time.monotonic() - t0), 3
+            )
         return result
 
     def open_stream(self, partial_interval=None, language=None) -> str:
@@ -575,6 +663,19 @@ def _make_handler(app: TranscriptionServer):
                             f"unknown response_format {fmt!r} (use json, "
                             "verbose_json, text, srt, vtt, tsv, or aud)"
                         )
+                    do_align = _parse_bool(
+                        q.get("align") or fval("align"), "align"
+                    )
+                    do_diarize = _parse_bool(
+                        q.get("diarize") or fval("diarize"), "diarize"
+                    )
+
+                    def spk(name):
+                        v = q.get(name) or fval(name)
+                        return (
+                            None if v is None else _parse_int(v, name, 0)
+                        )
+
                     result = app.transcribe(
                         audio,
                         priority=_parse_int(q.get("priority"), "priority", 10),
@@ -584,6 +685,16 @@ def _make_handler(app: TranscriptionServer):
                         task=_validated_task(q.get("task") or fval("task")),
                         initial_prompt=q.get("prompt") or fval("prompt"),
                     )
+                    if do_align or do_diarize:
+                        result = app.postprocess(
+                            audio,
+                            result,
+                            align=do_align,
+                            diarize=do_diarize,
+                            num_speakers=spk("num_speakers"),
+                            min_speakers=spk("min_speakers"),
+                            max_speakers=spk("max_speakers"),
+                        )
                     if fmt == "json":
                         result["request_id"] = uuid.uuid4().hex[:12]
                         self._json(200, result)
