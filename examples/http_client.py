@@ -32,17 +32,30 @@ def main():
     ap.add_argument("--format", default=None, dest="response_format",
                     help="response_format: text/srt/vtt/tsv/verbose_json "
                          "(default: native json)")
+    ap.add_argument("--align", action="store_true",
+                    help="server-side wav2vec2 word alignment (stage 3)")
+    ap.add_argument("--diarize", action="store_true",
+                    help="server-side speaker diarization (stage 4)")
     args = ap.parse_args()
 
     if not args.stream:
-        path = "/v1/audio/transcriptions"
+        params = []
+        if args.align:
+            params.append("align=true")
+        if args.diarize:
+            params.append("diarize=true")
+        if args.response_format:
+            params.append(f"response_format={args.response_format}")
+        path = "/v1/audio/transcriptions" + (
+            "?" + "&".join(params) if params else ""
+        )
         with open(args.audio, "rb") as f:
             body = f.read()
         if args.response_format:
             # non-json formats come back as rendered text (e.g. ready-to-
             # save subtitles), exactly what the CLI writers would produce
             req = urllib.request.Request(
-                args.url + path + f"?response_format={args.response_format}",
+                args.url + path,
                 data=body, method="POST",
                 headers={"Content-Type": "audio/wav"},
             )
@@ -51,7 +64,10 @@ def main():
             return
         result = post(args.url + path, body, {"Content-Type": "audio/wav"})
         for seg in result["segments"]:
-            print(f"[{seg['start']:7.2f} --> {seg['end']:7.2f}] {seg['text']}")
+            spk = f" {seg['speaker']}:" if "speaker" in seg else ""
+            print(
+                f"[{seg['start']:7.2f} --> {seg['end']:7.2f}]{spk} {seg['text']}"
+            )
         print(f"({result['wall_s']} s wall)", file=sys.stderr)
         return
 

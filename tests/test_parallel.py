@@ -214,3 +214,23 @@ def test_initialize_multihost_single_process_noop():
 
     pid, n = initialize_multihost()
     assert (pid, n) == (0, 1)
+
+
+def test_data_parallel_warmup_runs_on_mesh():
+    """DataParallelPipeline.warmup compiles the MESH-placed programs by
+    routing through the proxy's own transcribe (not the inner pipeline's
+    single-device path, which DP traffic never runs)."""
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.parallel import DataParallelPipeline
+    from whisperx_tpu.vad import load_vad_model
+
+    pipe = TranscriptionPipeline(
+        model=_f32_nano(),
+        vad_model=load_vad_model("energy"),
+        asr_options={"temperatures": (0.0,), "sample_len": 8},
+        language="en",
+        batch_size=4,
+    )
+    dp = DataParallelPipeline(pipe, mesh=make_mesh(n_data=4, n_model=2))
+    result = dp.warmup(duration_s=4.0)
+    assert isinstance(result.get("segments"), list)

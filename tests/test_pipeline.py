@@ -160,3 +160,19 @@ def test_batched_subchunk_timestamps_and_words(nano_model, monkeypatch):
             assert np.isfinite(w["start"]) and np.isfinite(w["end"])
     assert [w["word"] for w in wsegs[0]["words"]] == [" hello"]
     assert [w["word"] for w in wsegs[1]["words"]] == [" world"]
+
+
+def test_warmup_compiles_serving_path(pipeline):
+    """warmup() drives the real public path on synthetic speech: the
+    energy VAD must find voiced chunks (else the decode program never
+    compiles and warmup is a no-op) and the result must be structurally
+    valid. Short duration keeps the CPU test fast; the default 65 s
+    exists to compile multi-chunk steady-state shapes on a real chip."""
+    from whisperx_tpu.asr import warmup_audio
+
+    audio = warmup_audio(4.0)
+    vad_chunks = pipeline.vad_model({"waveform": audio, "sample_rate": 16000})
+    assert len(vad_chunks) > 0, "warmup signal must trip the VAD"
+    result = pipeline.warmup(duration_s=4.0)
+    assert isinstance(result.get("segments"), list)
+    assert "language" in result

@@ -783,3 +783,26 @@ def test_streaming_segments_rebased_to_stream_clock():
     assert words[0]["start"] == pytest.approx(base1 + 0.3, abs=1e-3)
     assert words[0]["end"] == pytest.approx(base1 + 0.6, abs=1e-3)
     assert "start" not in words[1]  # untimed word passes through intact
+
+
+def test_concurrent_stop_is_safe():
+    """On shutdown, the SIGTERM handler's server.shutdown() races
+    serve_forever's finally — both call batcher.stop(). A concurrent
+    stop() must not crash on the other caller nulling _worker between
+    checks (observed AttributeError in the serve e2e)."""
+    b = ContinuousBatcher(FakePipeline(), BatchConfig(max_wait_ms=5))
+    b.start()
+    errs = []
+
+    def s():
+        try:
+            b.stop()
+        except Exception as e:  # pragma: no cover - the bug under test
+            errs.append(e)
+
+    ts = [threading.Thread(target=s) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs

@@ -85,6 +85,23 @@ from whisperx_tpu.audio.device_chunk import (  # noqa: E402
 )
 
 
+def warmup_audio(duration_s: float = 65.0) -> np.ndarray:
+    """Synthetic speech-like signal for compile warmup: a speech-band
+    carrier with syllable-rate (3 Hz) amplitude modulation — loud and
+    modulated enough to trip every VAD backend, so the warmup decode
+    actually runs. Deterministic, so repeated warmups hit the same
+    programs."""
+    t = np.arange(int(duration_s * SAMPLE_RATE), dtype=np.float32) / np.float32(
+        SAMPLE_RATE
+    )
+    carrier = 0.3 * np.sin(2 * np.pi * 220.0 * t) + 0.2 * np.sin(
+        2 * np.pi * 440.0 * t
+    )
+    return (carrier * (0.55 + 0.45 * np.sin(2 * np.pi * 3.0 * t))).astype(
+        np.float32
+    )
+
+
 def _max_decode_rows(model, *, kv_quant: bool = False, sample_len: Optional[int] = None) -> int:
     """Max concurrent decode rows (batch × beam/best_of tiles) whose KV
     working set fits the HBM cache budget.
@@ -195,6 +212,29 @@ class TranscriptionPipeline:
         return codes[0]
 
     # ------------------------------------------------------------------
+
+    def warmup(
+        self,
+        batch_size: Optional[int] = None,
+        duration_s: float = 65.0,
+    ) -> TranscriptionResult:
+        """Compile the serving-path XLA programs before real traffic.
+
+        Drives the real public path (upload → VAD → mel gather → padded
+        batch decode → timestamp filters, plus language detection when no
+        language is pinned) on synthetic speech, so the first user
+        request doesn't pay the multi-minute first-compile of the decode
+        program. ~65 s of audio yields multiple VAD chunks, compiling the
+        mel gather and the padded decode batch at their steady-state
+        shapes. The synthetic signal is a speech-band carrier with
+        syllable-rate amplitude modulation — loud and modulated enough to
+        trip every VAD backend. Returns the (meaningless) result so
+        callers can sanity-check structure. No reference counterpart: the
+        reference pays compile-on-first-request (mlx is eager); XLA's
+        trace-once model makes warmup a first-class serving concern."""
+        return self.transcribe(
+            warmup_audio(duration_s), batch_size=batch_size
+        )
 
     def transcribe(
         self,

@@ -100,6 +100,18 @@ class DataParallelPipeline:
                 audios, batch_size=self._round(batch_size), **kwargs
             )
 
+    def warmup(self, batch_size: Optional[int] = None,
+               duration_s: float = 65.0):
+        """Compile the MESH-placed serving programs. Deliberately not
+        forwarded via __getattr__: the inner pipeline's warmup would
+        compile single-device programs, which real DP traffic never
+        runs."""
+        from whisperx_tpu.asr import warmup_audio
+
+        return self.transcribe(
+            warmup_audio(duration_s), batch_size=batch_size
+        )
+
     def __getattr__(self, name):
         # model / language / task / detect_language / model_prompt / ...
         return getattr(self.pipeline, name)

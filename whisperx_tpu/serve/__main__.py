@@ -29,6 +29,7 @@ def main():
     parser.add_argument("--max_body_mb", type=int, default=256, help="reject request bodies over this size with 413")
     parser.add_argument("--max_streams", type=int, default=64, help="cap concurrent streaming sessions (429 past this)")
     parser.add_argument("--word_timestamps", action="store_true", help="attach cross-attention DTW word timings to every segment")
+    parser.add_argument("--no_warmup", action="store_true", help="skip pre-compiling the decode/mel/VAD programs at startup (first request then pays the XLA compiles)")
     parser.add_argument("--align_model", type=str, default=None, help="wav2vec2 checkpoint/name for per-request ?align=true (default: per-language registry)")
     parser.add_argument("--diarize_model", type=str, default=None, help="diarization checkpoint/name for per-request ?diarize=true")
     parser.add_argument("--draft_model", type=str, default=None, help="enable speculative decoding: draft checkpoint/name or 'self:N'")
@@ -90,6 +91,18 @@ def main():
         align_model=args.align_model,
         diarize_model=args.diarize_model,
     )
+    if not args.no_warmup:
+        # compile the decode/mel/VAD programs BEFORE binding the port, so
+        # the first client request doesn't absorb minutes of XLA compiles
+        warm = getattr(pipeline, "warmup", None)
+        if warm is not None:
+            import time as _time
+
+            t0 = _time.monotonic()
+            print("warming XLA programs (first compile is the slow one)…")
+            warm()
+            print(f"warmup done in {_time.monotonic() - t0:.1f}s")
+
     import signal
     import threading
 

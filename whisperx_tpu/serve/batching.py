@@ -247,14 +247,18 @@ class ContinuousBatcher:
 
     def stop(self) -> None:
         self._stop.set()
-        if self._worker is not None:
+        # snapshot: stop() runs concurrently on shutdown (the SIGTERM
+        # handler's shutdown() races serve_forever's finally), and the
+        # other caller may null self._worker between our checks
+        w = self._worker
+        if w is not None:
             # unblock the queue wait
             self.submit(np.zeros(160, np.float32), priority=10**9, request_id="__stop__")
-            self._worker.join(timeout=self.config.stop_join_s)
+            w.join(timeout=self.config.stop_join_s)
             # mid-decode (first-call compiles run minutes) the join can
             # time out; keep the handle so a later start() finishes the
             # join instead of spawning a second driver
-            if not self._worker.is_alive():
+            if not w.is_alive():
                 self._worker = None
 
     # -- internals ---------------------------------------------------------
