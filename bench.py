@@ -291,16 +291,30 @@ def main():
     warm = audio[: 16000 * 60]
     pipeline.transcribe(warm, batch_size=batch_size)
 
-    # best-of-N guards against transient device-tunnel contention (the
-    # tunnel drifts up to ~1.7x across minutes and can stall individual
-    # transfers for seconds; 5 repeats ≈ 60-90 s and samples enough of
-    # the variance that one clean pass usually lands)
+    # Adaptive best-of-N guards against transient device/tunnel
+    # contention: the tunnel drifts up to ~1.7x across minutes, and
+    # CHIP-side contention has swung identical code 113x -> 163x within
+    # an hour (stage dumps put the swing entirely in device decode
+    # time). Minimum `repeats` passes always run; then, while the best
+    # keeps improving >3% (a contended window fading), keep sampling up
+    # to `max_repeats` / `budget_s`. Stable windows stop at the minimum.
     repeats = int(os.environ.get("WHISPERX_TPU_BENCH_REPEATS", 5))
+    max_repeats = int(os.environ.get("WHISPERX_TPU_BENCH_MAX_REPEATS", 12))
+    budget_s = float(os.environ.get("WHISPERX_TPU_BENCH_BUDGET_S", 600))
     elapsed = float("inf")
-    for _ in range(repeats):
+    bench_t0 = time.monotonic()
+    i = since_best = 0
+    while i < repeats or (
+        since_best < 2
+        and i < max_repeats
+        and time.monotonic() - bench_t0 < budget_s
+    ):
         t0 = time.perf_counter()
         result = pipeline.transcribe(audio, batch_size=batch_size)
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        since_best = 0 if dt < elapsed * 0.97 else since_best + 1
+        elapsed = min(elapsed, dt)
+        i += 1
 
     if os.environ.get("WHISPERX_TPU_BENCH_STAGES"):
         from whisperx_tpu.utils.metrics import GLOBAL_TRACKER
