@@ -806,3 +806,28 @@ def test_concurrent_stop_is_safe():
     for t in ts:
         t.join()
     assert not errs
+
+
+def test_warmup_streaming_covers_reachable_programs(nano_model):
+    """warmup_streaming compiles every program a live stream can reach:
+    one per whole-second chunk bucket (1..ceil(max_latency)+1), one
+    prompted decode, and one per partial prefix bucket up to the token
+    budget. Pin the call count so a warm-path regression (a bucket
+    silently dropped) is caught."""
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.serve.streaming import warmup_streaming
+    from whisperx_tpu.vad import load_vad_model
+
+    pipe = TranscriptionPipeline(
+        model=nano_model,
+        vad_model=load_vad_model("energy"),
+        asr_options={"temperatures": (0.0,), "sample_len": 8},
+        language="en",
+        batch_size=2,
+    )
+    calls = warmup_streaming(
+        pipe, max_latency_seconds=2.0, partial_token_budget=64
+    )
+    # 3 chunk buckets (1..3 s) + 1 prompted + 1 first partial + 1 prefix
+    # bucket (32 of budget 64)
+    assert calls == 6

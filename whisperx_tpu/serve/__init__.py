@@ -11,6 +11,7 @@ from whisperx_tpu.serve.streaming import (
     StreamingChunker,
     StreamingConfig,
     StreamingTranscriber,
+    warmup_streaming,
 )
 from whisperx_tpu.serve.server import TranscriptionServer
 
@@ -26,4 +27,5 @@ __all__ = [
     "StreamingChunker",
     "StreamingConfig",
     "StreamingTranscriber",
+    "warmup_streaming",
 ]

@@ -30,6 +30,7 @@ def main():
     parser.add_argument("--max_streams", type=int, default=64, help="cap concurrent streaming sessions (429 past this)")
     parser.add_argument("--word_timestamps", action="store_true", help="attach cross-attention DTW word timings to every segment")
     parser.add_argument("--no_warmup", action="store_true", help="skip pre-compiling the decode/mel/VAD programs at startup (first request then pays the XLA compiles)")
+    parser.add_argument("--warmup_streaming", action="store_true", help="also pre-compile every streaming program (chunk-length buckets, prompted decode, partial prefix buckets) — a few extra minutes of startup, no mid-stream compile stalls")
     parser.add_argument("--align_model", type=str, default=None, help="wav2vec2 checkpoint/name for per-request ?align=true (default: per-language registry)")
     parser.add_argument("--diarize_model", type=str, default=None, help="diarization checkpoint/name for per-request ?diarize=true")
     parser.add_argument("--draft_model", type=str, default=None, help="enable speculative decoding: draft checkpoint/name or 'self:N'")
@@ -101,6 +102,11 @@ def main():
             t0 = _time.monotonic()
             print("warming XLA programs (first compile is the slow one)…")
             warm()
+            if args.warmup_streaming:
+                from whisperx_tpu.serve.streaming import warmup_streaming
+
+                n = warmup_streaming(pipeline, language=args.language)
+                print(f"streaming warmup: {n} programs")
             print(f"warmup done in {_time.monotonic() - t0:.1f}s")
 
     import signal

@@ -503,3 +503,59 @@ class StreamingTranscriber:
         self.results.append(entry)
         if self.on_result:
             self.on_result(entry)
+
+
+def warmup_streaming(
+    pipeline,
+    *,
+    max_latency_seconds: float = 5.0,
+    partial_token_budget: int = 224,
+    partials: bool = True,
+    language: Optional[str] = None,
+) -> int:
+    """Compile every XLA program a live stream can reach, before traffic.
+
+    Chunk-final decodes arrive bucketed to whole seconds (``_emit``), so
+    with ``max_latency_seconds`` the reachable chunk buckets are
+    1..ceil(max_latency)+1 s — each a distinct upload/VAD/mel program.
+    Prompted chunks (prev-text conditioning) add ONE fixed-length decode
+    program (``StreamingTranscriber.PROMPT_TOKENS``). Partial decoding
+    adds one program per committed-prefix bucket (``PREFIX_BUCKET``
+    steps up to the token budget). Left cold, these compiles land
+    MID-STREAM (~90 s stalls observed for large-v3) — warming them is a
+    few minutes of startup once per machine (the persistent XLA cache
+    carries them after that). Returns the number of warm calls made."""
+    from whisperx_tpu.asr import warmup_audio
+
+    secs = int(np.ceil(max_latency_seconds)) + 1
+    audio = warmup_audio(float(secs))
+    lang_kw = {"language": language} if language else {}
+    calls = 0
+    for s in range(1, secs + 1):
+        pipeline.transcribe(audio[: s * SAMPLE_RATE], **lang_kw)
+        calls += 1
+    prompt = list(range(300, 300 + StreamingTranscriber.PROMPT_TOKENS))
+    pipeline.transcribe(
+        audio[: secs * SAMPLE_RATE], initial_prompt=prompt, **lang_kw
+    )
+    calls += 1
+    model = getattr(pipeline, "model", None)
+    if partials and model is not None:
+        warm = IncrementalUtteranceDecoder(
+            model,
+            language=language or getattr(pipeline, "language", None) or "en",
+            task=getattr(pipeline, "task", "transcribe") or "transcribe",
+            token_budget=partial_token_budget,
+        )
+        warm.partial(audio[: 2 * SAMPLE_RATE])
+        calls += 1
+        # walk every committed-prefix bucket the utterance can reach —
+        # same recipe tools/streaming_latency.py validated on chip
+        for n_stable in range(
+            warm.PREFIX_BUCKET, partial_token_budget, warm.PREFIX_BUCKET
+        ):
+            warm.stable = list(range(200, 200 + n_stable))
+            warm._last_full = None
+            warm.partial(audio[: 2 * SAMPLE_RATE])
+            calls += 1
+    return calls
