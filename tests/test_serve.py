@@ -831,3 +831,56 @@ def test_warmup_streaming_covers_reachable_programs(nano_model):
     # 3 chunk buckets (1..3 s) + 1 prompted + 1 first partial + 1 prefix
     # bucket (32 of budget 64)
     assert calls == 6
+
+
+def test_speaker_registry_identity_and_update():
+    from whisperx_tpu.serve import SpeakerRegistry
+
+    reg = SpeakerRegistry(threshold=0.5)
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    a2 = np.array([0.95, 0.05, 0.0])
+    assert reg.assign(a, 2.0) == 0
+    assert reg.assign(b, 2.0) == 1  # orthogonal → new speaker
+    assert reg.assign(a2, 1.0) == 0  # near-duplicate → same speaker
+    assert len(reg.centroids) == 2
+    # duration-weighted running mean stays unit-norm
+    assert abs(np.linalg.norm(reg.centroids[0]) - 1.0) < 1e-9
+    # capped registry snaps to nearest instead of growing
+    capped = SpeakerRegistry(threshold=0.99, max_speakers=1)
+    assert capped.assign(a, 1.0) == 0
+    assert capped.assign(b, 1.0) == 0
+
+
+def test_streaming_online_diarization_consistent_labels():
+    """config.diarize=True tags chunk-final segments with speaker labels
+    that stay consistent ACROSS chunks: two chunks of the same synthetic
+    voice share a label; a spectrally distant voice gets a new one. Uses
+    the weightless spectral embedding + energy VAD (hermetic)."""
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    low = (
+        0.4 * np.sin(2 * np.pi * 180 * t)
+        * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+    ).astype(np.float32)
+    rng = np.random.default_rng(0)
+    high = (
+        0.3 * np.sin(2 * np.pi * 2400 * t)
+        + 0.05 * rng.standard_normal(len(t))
+    ).astype(np.float32)
+
+    st = StreamingTranscriber(
+        FakePipeline(),
+        StreamingConfig(
+            min_chunk_seconds=0.5, max_latency_seconds=0.0, diarize=True
+        ),
+    )
+    for chunk in (low, high, low):
+        st.feed(chunk)
+        st.process_available()
+    finals = [r for r in st.stop() if not r["provisional"]]
+    assert len(finals) >= 3
+    spk = [f["segments"][0].get("speaker") for f in finals[:3]]
+    assert spk[0] is not None and spk[1] is not None
+    assert spk[0] == spk[2], f"same voice must keep its label: {spk}"
+    assert spk[0] != spk[1], f"distinct voice must get a new label: {spk}"

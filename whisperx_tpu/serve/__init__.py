@@ -8,6 +8,7 @@ from whisperx_tpu.serve.batching import (
 )
 from whisperx_tpu.serve.streaming import (
     AudioRingBuffer,
+    SpeakerRegistry,
     StreamingChunker,
     StreamingConfig,
     StreamingTranscriber,
@@ -25,6 +26,7 @@ __all__ = [
     "bucket_requests",
     "AudioRingBuffer",
     "StreamingChunker",
+    "SpeakerRegistry",
     "StreamingConfig",
     "StreamingTranscriber",
     "warmup_streaming",

@@ -23,8 +23,10 @@ POST /v1/audio/transcriptions     body = WAV bytes (any container when
 POST /v1/stream/start             → {stream_id}; query params configure
                                   (?language=fr per-stream override,
                                   ?partial_interval=0.5 for provisional
-                                  partials); idle sessions reaped after
-                                  stream_ttl_s
+                                  partials, ?diarize=true[&max_speakers=K]
+                                  for online speaker tracking with
+                                  cross-chunk-consistent labels); idle
+                                  sessions reaped after stream_ttl_s
 POST /v1/stream/{id}/audio        body = raw PCM chunk (same headers)
                                   → {results: [...new since last call]}
 POST /v1/stream/{id}/end          → {results, latency: {...}} and closes
@@ -398,13 +400,17 @@ class TranscriptionServer:
             )
         return result
 
-    def open_stream(self, partial_interval=None, language=None) -> str:
+    def open_stream(self, partial_interval=None, language=None,
+                    diarize=False, max_speakers=None) -> str:
         self._reap_streams()
         cfg = StreamingConfig()
         if partial_interval:
             cfg.partial_interval_seconds = float(partial_interval)
         if language:
             cfg.language = language
+        if diarize:
+            cfg.diarize = True
+            cfg.max_speakers = max_speakers
         tr = StreamingTranscriber(self.pipeline, cfg)
         sid = uuid.uuid4().hex[:12]
         with self._streams_lock:
@@ -708,11 +714,17 @@ def _make_handler(app: TranscriptionServer):
                         self.end_headers()
                         self.wfile.write(payload)
                 elif url.path == "/v1/stream/start":
+                    ms = q.get("max_speakers")
                     sid = app.open_stream(
                         partial_interval=_parse_float(
                             q.get("partial_interval"), "partial_interval"
                         ),
                         language=_validated_language(q.get("language")),
+                        diarize=_parse_bool(q.get("diarize"), "diarize"),
+                        max_speakers=(
+                            None if ms is None
+                            else _parse_int(ms, "max_speakers", 0)
+                        ),
                     )
                     self._json(200, {"stream_id": sid})
                 elif m := _STREAM_RE.match(url.path):

@@ -37,6 +37,16 @@ class StreamingConfig:
     partial_token_budget: int = 224
     # per-stream language override (None = pipeline language / auto-detect)
     language: Optional[str] = None
+    # ONLINE speaker tracking: diarize each chunk-final and keep speaker
+    # labels consistent ACROSS chunks via an embedding registry (the
+    # offline DiarizationPipeline labels restart per call). No reference
+    # counterpart — its diarization is offline-only (diarize.py).
+    diarize: bool = False
+    # cosine-similarity floor for matching a chunk-local speaker to an
+    # already-seen one; below it a new global speaker is registered
+    diarize_threshold: float = 0.5
+    # hard cap on distinct global speakers (None = unbounded)
+    max_speakers: Optional[int] = None
 
 
 class AudioRingBuffer:
@@ -250,6 +260,49 @@ class IncrementalUtteranceDecoder:
         }
 
 
+class SpeakerRegistry:
+    """Cross-chunk speaker identity for live streams.
+
+    Per-chunk diarization labels are local — SPEAKER_00 restarts with
+    every chunk. The registry matches each chunk-local centroid to a
+    global speaker by cosine similarity (embeddings are unit-norm, both
+    the spectral-stat fallback and converted neural checkpoints), or
+    registers a new one when nothing clears ``threshold``. Global
+    centroids update as duration-weighted running means, so an identity
+    sharpens the longer its speaker talks. With ``max_speakers`` set, a
+    full registry snaps to the nearest existing speaker instead."""
+
+    def __init__(self, threshold: float = 0.5,
+                 max_speakers: Optional[int] = None):
+        self.threshold = threshold
+        self.max_speakers = max_speakers
+        self.centroids: List[np.ndarray] = []
+        self.weights: List[float] = []
+
+    def assign(self, embedding, duration_s: float) -> int:
+        """Chunk-local centroid → global speaker index."""
+        v = np.asarray(embedding, np.float64).reshape(-1)
+        n = float(np.linalg.norm(v))
+        v = v / n if n > 0 and np.isfinite(n) else v
+        w = max(float(duration_s), 1e-3)
+        if self.centroids:
+            sims = np.array([float(c @ v) for c in self.centroids])
+            best = int(sims.argmax())
+            full = (
+                self.max_speakers is not None
+                and len(self.centroids) >= self.max_speakers
+            )
+            if sims[best] >= self.threshold or full:
+                c = self.centroids[best] * self.weights[best] + v * w
+                cn = float(np.linalg.norm(c))
+                self.centroids[best] = c / cn if cn > 0 else c
+                self.weights[best] += w
+                return best
+        self.centroids.append(v)
+        self.weights.append(w)
+        return len(self.centroids) - 1
+
+
 class StreamingTranscriber:
     """Background worker turning a live audio feed into incremental results."""
 
@@ -277,6 +330,13 @@ class StreamingTranscriber:
         self._feed_times: List[tuple] = []
         self._last_partial_len = 0
         self._incremental: Optional[IncrementalUtteranceDecoder] = None
+        # online speaker tracking (config.diarize): lazily-built chunk
+        # diarizer + the cross-chunk identity registry
+        self._diarizer = None
+        self._speakers = SpeakerRegistry(
+            threshold=self.config.diarize_threshold,
+            max_speakers=self.config.max_speakers,
+        )
 
     def feed(self, samples: np.ndarray) -> None:
         n = self.buffer.write(samples)
@@ -428,6 +488,53 @@ class StreamingTranscriber:
             return None  # wait until a full window accumulates
         return ids[-self.PROMPT_TOKENS:]
 
+    def _attach_speakers(
+        self, chunk: np.ndarray, segments: List[dict], base_s: float
+    ) -> None:
+        """Online diarization of one chunk-final: diarize the chunk,
+        resolve its local speaker labels to GLOBAL identities through the
+        registry, and tag the (already stream-absolute) segments/words in
+        place. Failures degrade to untagged segments — a diarization
+        hiccup must not kill the transcript stream."""
+        import warnings
+
+        if self._diarizer is None:
+            from whisperx_tpu.diarize import DiarizationPipeline
+
+            self._diarizer = DiarizationPipeline()
+        try:
+            out = self._diarizer(
+                chunk,
+                max_speakers=self.config.max_speakers,
+                return_embeddings=True,
+            )
+        except Exception as e:  # degraded, not fatal
+            warnings.warn(f"stream diarization failed for a chunk: {e}")
+            return
+        df, embeds = out
+        if len(df) == 0 or not embeds:
+            return
+        starts = df["start"].to_numpy(np.float64)
+        ends = df["end"].to_numpy(np.float64)
+        local = df["speaker"].tolist()
+        rename = {}
+        for name, emb in embeds.items():
+            mask = np.array([s == name for s in local])
+            dur = float((ends[mask] - starts[mask]).sum())
+            gid = self._speakers.assign(emb, dur)
+            rename[name] = f"SPEAKER_{gid:02d}"
+        from whisperx_tpu.diarize import assign_word_speakers
+        from whisperx_tpu.diarize import _plain_df
+
+        shifted = _plain_df(
+            {
+                "speaker": [rename.get(s, s) for s in local],
+                "start": starts + base_s,
+                "end": ends + base_s,
+            }
+        )
+        assign_word_speakers(shifted, {"segments": segments})
+
     def _rebase_segment(self, seg: dict, chunk_extent_s: float) -> dict:
         """Rebase a chunk-relative segment (and any DTW words on it) onto
         the stream clock, so consumers can assemble a live transcript /
@@ -486,6 +593,8 @@ class StreamingTranscriber:
             self._rebase_segment(s, true_extent)
             for s in result["segments"]
         ]
+        if self.config.diarize and segments:
+            self._attach_speakers(chunk, segments, self._offset_s)
         text = " ".join(s["text"].strip() for s in segments).strip()
         entry = {
             "text": text,
