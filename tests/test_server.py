@@ -720,3 +720,33 @@ def test_bad_align_param_is_400(server):
             {"Content-Type": "audio/wav"},
         )
     assert exc.value.code == 400
+
+
+def test_stream_diarize_param_tracks_speakers(server):
+    """/v1/stream/start?diarize=true wires online speaker tracking: the
+    chunk-final results carry cross-chunk-consistent speaker labels
+    (weightless spectral path)."""
+    srv, base = server
+    _, p = _post(base + "/v1/stream/start?diarize=true&max_speakers=2", b"")
+    sid = p["stream_id"]
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    low = (
+        0.4 * np.sin(2 * np.pi * 180 * t)
+        * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+    ).astype(np.float32)
+    _post(
+        base + f"/v1/stream/{sid}/audio",
+        low.tobytes(),
+        {"Content-Type": "audio/x-raw-pcm", "X-Format": "f32"},
+    )
+    status, payload = _post(base + f"/v1/stream/{sid}/end", b"")
+    assert status == 200
+    finals = [r for r in payload["all_results"] if not r["provisional"]]
+    assert finals
+    speakers = [
+        s.get("speaker") for r in finals for s in r["segments"]
+    ]
+    assert speakers and all(
+        sp is not None and sp.startswith("SPEAKER_") for sp in speakers
+    )
