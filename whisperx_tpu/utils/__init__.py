@@ -14,6 +14,7 @@ from whisperx_tpu.utils.text import (
     optional_int,
     str2bool,
 )
+from whisperx_tpu.utils.der import diarization_error_rate, load_rttm, save_rttm
 from whisperx_tpu.utils.writers import get_writer
 
 __all__ = [
@@ -30,4 +31,7 @@ __all__ = [
     "optional_int",
     "str2bool",
     "get_writer",
+    "diarization_error_rate",
+    "load_rttm",
+    "save_rttm",
 ]
