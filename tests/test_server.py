@@ -303,6 +303,9 @@ def test_multipart_upload_openai_shape(server):
     ("verbose_json", lambda b, h: (
         json.loads(b)["text"] == "ok" and "duration" in json.loads(b)
         and h["Content-Type"].startswith("application/json"))),
+    # no ?diarize -> no speaker labels -> valid empty RTTM (route + writer
+    # wiring is what's under test; labelled RTTM is pinned in test_writers)
+    ("rttm", lambda b, h: b.decode() == ""),
 ])
 def test_response_format_rendering(server, fmt, check):
     srv, base = server

@@ -128,3 +128,51 @@ def test_get_writer_single(tmp_path):
     writer = get_writer("srt", str(tmp_path))
     writer(RESULT, "/some/path/clip.mp3", OPTS)
     assert (tmp_path / "clip.srt").exists()
+
+
+def test_rttm_writer_merges_and_skips():
+    from whisperx_tpu.utils.writers import WriteRTTM
+
+    result = {
+        "segments": [
+            {"start": 0.0, "end": 2.5, "text": "a", "speaker": "SPEAKER_00"},
+            # abuts previous, same speaker -> one merged turn
+            {"start": 2.5, "end": 4.0, "text": "b", "speaker": "SPEAKER_00"},
+            {"start": 5.0, "end": 6.0, "text": "c", "speaker": "SPEAKER_01"},
+            {"start": 7.0, "end": 8.0, "text": "d"},  # no speaker: skipped
+        ]
+    }
+    out = _render(WriteRTTM, result)
+    lines = out.strip().splitlines()
+    assert lines == [
+        "SPEAKER audio 1 0.000 4.000 <NA> <NA> SPEAKER_00 <NA> <NA>",
+        "SPEAKER audio 1 5.000 1.000 <NA> <NA> SPEAKER_01 <NA> <NA>",
+    ]
+
+
+def test_rttm_writer_file_uri_and_der_roundtrip(tmp_path):
+    result = {
+        "segments": [
+            {"start": 0.0, "end": 2.0, "text": "a", "speaker": "SPEAKER_00"},
+            {"start": 2.0, "end": 3.0, "text": "b", "speaker": "SPEAKER_01"},
+        ]
+    }
+    writer = get_writer("rttm", str(tmp_path))
+    writer(result, "/some/dir/meeting.wav", OPTS)
+    path = tmp_path / "meeting.rttm"
+    assert path.exists()
+    assert "SPEAKER meeting 1" in path.read_text()
+
+    from whisperx_tpu.utils.der import diarization_error_rate, load_rttm
+
+    turns = load_rttm(str(path))
+    ref = [(0.0, 2.0, "A"), (2.0, 3.0, "B")]
+    assert diarization_error_rate(ref, turns, collar=0.0)["der"] == 0.0
+
+
+def test_get_writer_all_excludes_optional(tmp_path):
+    """'all' fans out the standard formats only; aud/rttm stay opt-in."""
+    writer = get_writer("all", str(tmp_path))
+    writer(RESULT, "audio.wav", OPTS)
+    assert not (tmp_path / "audio.rttm").exists()
+    assert not (tmp_path / "audio.aud").exists()

@@ -210,7 +210,7 @@ def _format_result(result: dict, fmt: str):
     if cls is None:
         raise _BadRequest(
             f"unknown response_format {fmt!r} (use json, verbose_json, "
-            "text, srt, vtt, tsv, or aud)"
+            "text, srt, vtt, tsv, aud, or rttm)"
         )
     buf = io.StringIO()
     cls(output_dir="").write_result(result, file=buf, options={})
@@ -663,11 +663,11 @@ def _make_handler(app: TranscriptionServer):
                     ).lower()
                     if fmt not in (
                         "json", "verbose_json", "text", "srt", "vtt",
-                        "tsv", "aud",
+                        "tsv", "aud", "rttm",
                     ):
                         raise _BadRequest(
                             f"unknown response_format {fmt!r} (use json, "
-                            "verbose_json, text, srt, vtt, tsv, or aud)"
+                            "verbose_json, text, srt, vtt, tsv, aud, or rttm)"
                         )
                     do_align = _parse_bool(
                         q.get("align") or fval("align"), "align"

@@ -221,6 +221,40 @@ class WriteJSON(ResultWriter):
         json.dump(result, file, ensure_ascii=False)
 
 
+class WriteRTTM(ResultWriter):
+    """NIST RTTM speaker turns — the standard diarization interchange
+    format (consumable by dscore / pyannote.metrics / tools/der_eval.py).
+    One SPEAKER line per speaker-labelled segment; abutting same-speaker
+    segments merge into one turn. Speakerless segments are skipped (RTTM
+    carries who-spoke-when, not transcripts). No reference counterpart:
+    its diarization labels only live inside the JSON output."""
+
+    extension = "rttm"
+
+    def __call__(self, result, audio_path, options):
+        self._uri = os.path.splitext(os.path.basename(audio_path))[0]
+        super().__call__(result, audio_path, options)
+
+    def write_result(self, result, file, options):
+        uri = getattr(self, "_uri", None) or "audio"
+        turns = []
+        for seg in result["segments"]:
+            spk = seg.get("speaker")
+            if spk is None:
+                continue
+            s, e = float(seg["start"]), float(seg["end"])
+            if turns and turns[-1][2] == spk and s - turns[-1][1] < 1e-3:
+                turns[-1] = (turns[-1][0], max(turns[-1][1], e), spk)
+            else:
+                turns.append((s, e, spk))
+        for s, e, spk in turns:
+            print(
+                f"SPEAKER {uri} 1 {s:.3f} {e - s:.3f} <NA> <NA> {spk} <NA> <NA>",
+                file=file,
+                flush=True,
+            )
+
+
 WRITERS = {
     "txt": WriteTXT,
     "vtt": WriteVTT,
@@ -228,7 +262,7 @@ WRITERS = {
     "tsv": WriteTSV,
     "json": WriteJSON,
 }
-OPTIONAL_WRITERS = {"aud": WriteAudacity}
+OPTIONAL_WRITERS = {"aud": WriteAudacity, "rttm": WriteRTTM}
 
 
 def get_writer(output_format: str, output_dir: str):
