@@ -234,3 +234,37 @@ def test_data_parallel_warmup_runs_on_mesh():
     dp = DataParallelPipeline(pipe, mesh=make_mesh(n_data=4, n_model=2))
     result = dp.warmup(duration_s=4.0)
     assert isinstance(result.get("segments"), list)
+
+
+def test_quantized_params_shard_and_decode_on_mesh():
+    """shard_params_tp on a weight-only quantized tree: QuantizedLinear
+    bundles are replicated (the opaque dequant-matmul cannot be SPMD-split
+    and scale rows must stay K-aligned) and the full decode program still
+    executes on the TP+DP mesh — regression for the serve --compute_type
+    int8 + multi-device startup crash (leaf.ndim on QuantizedLinear)."""
+    from whisperx_tpu.decoding import DecodingOptions, decode
+    from whisperx_tpu.models.whisper import load_model
+    from whisperx_tpu.quant.core import QuantizedLinear, quantize_model
+
+    model = quantize_model(load_model("test-nano", dtype="float32"), "int8")
+    mesh = make_mesh(n_data=4, n_model=2)
+    model.params = shard_params_tp(model.params, mesh)
+
+    # quantized bundles survived placement with metadata intact
+    qls = [
+        leaf
+        for leaf in jax.tree.leaves(
+            model.params,
+            is_leaf=lambda x: isinstance(x, QuantizedLinear),
+        )
+        if isinstance(leaf, QuantizedLinear)
+    ]
+    assert qls, "test-nano int8 tree should contain quantized linears"
+    assert all(q.bits == 8 for q in qls)
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((4, 3000, model.dims.n_mels)).astype(np.float32) * 0.1
+    with use_mesh(mesh):
+        results = decode(model, mel, DecodingOptions(language="en", sample_len=8))
+    assert len(results) == 4
+    assert all(np.isfinite(r.avg_logprob) for r in results)

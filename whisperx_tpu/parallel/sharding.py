@@ -104,7 +104,16 @@ def _tp_spec_for(path: str, leaf) -> P:
 
 
 def shard_params_tp(params, mesh: Mesh):
-    """Place a param pytree on ``mesh`` with TP sharding over MODEL_AXIS."""
+    """Place a param pytree on ``mesh`` with TP sharding over MODEL_AXIS.
+
+    Weight-only quantized linears (``quant.core.QuantizedLinear``) are
+    REPLICATED rather than split: XLA's SPMD partitioner cannot slice the
+    opaque Pallas dequant-matmul call, and the group-wise scale rows must
+    stay aligned with their K-dim weight slices. Correctness first — the
+    surrounding activation sharding constraints still hold, so a
+    quantized model runs on the mesh with data parallelism intact (TP
+    then saves no weight HBM on those layers; int8's purpose is capacity,
+    docs/PERFORMANCE.md)."""
 
     def walk(tree, path):
         if isinstance(tree, dict):
@@ -112,6 +121,15 @@ def shard_params_tp(params, mesh: Mesh):
         if isinstance(tree, (list, tuple)):
             t = [walk(v, f"{path}/{i}") for i, v in enumerate(tree)]
             return type(tree)(t)
+        from whisperx_tpu.quant.core import QuantizedLinear
+
+        if isinstance(tree, QuantizedLinear):
+            rep = NamedSharding(mesh, P())
+            put = lambda x: None if x is None else jax.device_put(x, rep)
+            return QuantizedLinear(
+                put(tree.qw), put(tree.scale), put(tree.b),
+                bits=tree.bits, group_size=tree.group_size,
+            )
         spec = _tp_spec_for(path, tree)
         return jax.device_put(tree, NamedSharding(mesh, spec))
 
