@@ -391,3 +391,32 @@ def test_spectral_cluster_honors_cannot_link():
     # constrained: they must separate even though they are nearest
     pinned = spectral_cluster(x, num_clusters=2, cannot_link=[(0, 1)])
     assert pinned[0] != pinned[1]
+
+
+def test_two_voice_der_end_to_end():
+    """Pipeline-vs-ground-truth DER through the NIST-style scorer
+    (utils/der.py): the full stack — energy VAD, windowed embeddings,
+    constrained AHC, turn stitching — must attribute the two alternating
+    voices with DER ≤ 0.1 at the standard 0.25 s collar (measured 0.0;
+    threshold leaves platform headroom). Also exercises the scorer's
+    DataFrame input path against a real pipeline table."""
+    from whisperx_tpu.utils.der import diarization_error_rate
+    from whisperx_tpu.vad import load_vad_model
+
+    turn_s, gap_s, n_turns = 3.0, 0.5, 6
+    a = _voice(110.0, turn_s, bright=0.95, seed=1)
+    b = _voice(260.0, turn_s, bright=1.05, seed=2)
+    gap = np.zeros(int(gap_s * SR), np.float32)
+    parts, truth = [], []
+    t0 = 0.0
+    for i in range(n_turns):
+        parts += [(a if i % 2 == 0 else b), gap]
+        truth.append((t0, t0 + turn_s, f"V{i % 2}"))
+        t0 += turn_s + gap_s
+    audio = np.concatenate(parts)
+
+    pipe = DiarizationPipeline(vad_model=load_vad_model("energy"))
+    df = pipe(audio, num_speakers=2)
+    r = diarization_error_rate(truth, df, collar=0.25)
+    assert r["der"] <= 0.1, r
+    assert len(set(r["mapping"].values())) == 2  # both voices attributed
