@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--seconds", type=float, default=300)
     ap.add_argument("--sample_len", type=int, default=128)
     ap.add_argument("--compute_type", default="bfloat16")
+    ap.add_argument(
+        "--repeats", type=int, default=3,
+        help="best-of-N timed passes per cell (chip contention swings "
+             "single readings; see bench.py's adaptive methodology)",
+    )
     args = ap.parse_args()
 
     from whisperx_tpu.asr import load_model
@@ -73,9 +78,11 @@ def main():
                 batch_size=batch,
             )
             pipeline.transcribe(audio[: 16000 * 60], batch_size=batch)  # warmup
-            t0 = time.perf_counter()
-            pipeline.transcribe(audio, batch_size=batch)
-            dt = time.perf_counter() - t0
+            dt = float("inf")
+            for _ in range(max(1, args.repeats)):
+                t0 = time.perf_counter()
+                pipeline.transcribe(audio, batch_size=batch)
+                dt = min(dt, time.perf_counter() - t0)
             row = {
                 "model": model_name,
                 "batch": batch,
