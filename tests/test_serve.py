@@ -253,6 +253,24 @@ def test_streaming_transcriber_sync(speech_5s):
     assert results[-1]["end"] > 0
 
 
+def test_max_latency_flush_without_new_feed(speech_5s):
+    """Regression: buffered audio must force-flush after max_latency even
+    if the client never feeds again (the wall-clock gate lives inside
+    chunker.push, so process_available must keep calling it while audio
+    is pending — a feed-once-then-wait WebSocket client hung forever)."""
+    pipe = FakePipeline()
+    st = StreamingTranscriber(
+        pipe, StreamingConfig(min_chunk_seconds=0.5, max_latency_seconds=5.0)
+    )
+    st.feed(speech_5s[:32000])
+    st.process_available()  # buffers; neither silence nor latency yet
+    assert not st.results
+    # simulate max_latency elapsing with NO new samples arriving
+    st.chunker._last_emit -= 6.0
+    st.process_available()
+    assert st.results and st.results[-1]["end"] == pytest.approx(2.0)
+
+
 class FakeCoalescingPipeline(FakePipeline):
     def __init__(self):
         super().__init__()

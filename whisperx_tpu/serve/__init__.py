@@ -15,9 +15,12 @@ from whisperx_tpu.serve.streaming import (
     warmup_streaming,
 )
 from whisperx_tpu.serve.server import TranscriptionServer
+from whisperx_tpu.serve.ws import WebSocket, WSProtocolError
 
 __all__ = [
     "TranscriptionServer",
+    "WebSocket",
+    "WSProtocolError",
     "BatchConfig",
     "ContinuousBatcher",
     "QueueFullError",

@@ -30,6 +30,13 @@ POST /v1/stream/start             → {stream_id}; query params configure
 POST /v1/stream/{id}/audio        body = raw PCM chunk (same headers)
                                   → {results: [...new since last call]}
 POST /v1/stream/{id}/end          → {results, latency: {...}} and closes
+GET  /v1/ws                       RFC 6455 WebSocket upgrade: binary
+                                  frames = raw PCM in (?format=f32|i16,
+                                  ?sample_rate=); results are PUSHED as
+                                  JSON text frames the moment they exist
+                                  (see serve/ws.py); text {"op":"end"}
+                                  finalizes. Same session params as
+                                  /v1/stream/start.
 
 Run:  python -m whisperx_tpu.serve --model large-v3 --port 9090
 
@@ -306,6 +313,7 @@ class TranscriptionServer:
         self.max_streams = max_streams
         self.align_model = align_model
         self.diarize_model = diarize_model
+        self._ws_active = 0  # live WebSocket sessions (share max_streams)
         # lazily built post-stages (stage 3/4 of the UnifiedPipeline);
         # the lock guards construction only — inference calls are jitted
         # JAX programs and safe to invoke from concurrent handler threads
@@ -423,6 +431,22 @@ class TranscriptionServer:
             self.streams[sid] = _StreamSession(tr)
         return sid
 
+    def _ws_acquire(self) -> None:
+        """Reserve a WebSocket session slot. WS sessions share the
+        max_streams budget with long-poll sessions: both pin a ring
+        buffer + a decode-capable worker, so the flood-degrades-to-429
+        cap must count them together."""
+        with self._streams_lock:
+            if len(self.streams) + self._ws_active >= self.max_streams:
+                raise _ServerBusy(
+                    f"at max_streams ({self.max_streams}); retry later"
+                )
+            self._ws_active += 1
+
+    def _ws_release(self) -> None:
+        with self._streams_lock:
+            self._ws_active = max(0, self._ws_active - 1)
+
     def stream(self, sid: str) -> _StreamSession:
         with self._streams_lock:
             sess = self.streams.get(sid)
@@ -473,6 +497,7 @@ class TranscriptionServer:
             "uptime_s": round(time.time() - self.started_at, 1),
             "queue_depth": len(self.batcher.queue),
             "active_streams": len(self.streams),
+            "active_ws": self._ws_active,
             "stats": self.batcher.stats_snapshot(),
             "throughput_rtf": round(self.batcher.throughput_rtf, 2),
         }
@@ -593,9 +618,13 @@ def _make_handler(app: TranscriptionServer):
             except _TooLarge as e:
                 self._reject_and_close(413, str(e))
                 return
-            path = urlparse(self.path).path
+            url = urlparse(self.path)
+            path = url.path
             if path == "/healthz":
                 self._json(200, app.health())
+            elif path == "/v1/ws":
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                self._handle_ws(q)
             elif path == "/metrics":
                 body = app.metrics_text().encode()
                 self.send_response(200)
@@ -607,6 +636,87 @@ def _make_handler(app: TranscriptionServer):
                 self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
+
+        def _handle_ws(self, q):
+            """GET /v1/ws — RFC 6455 upgrade into a push streaming session
+            (serve/ws.py). Parameter and capacity errors are answered on
+            plain HTTP BEFORE the upgrade, so a misconfigured client gets
+            a readable 4xx instead of a dropped socket."""
+            from whisperx_tpu.serve import ws as wsmod
+
+            key = self.headers.get("Sec-WebSocket-Key")
+            upgrade = (self.headers.get("Upgrade") or "").strip().lower()
+            if upgrade != "websocket" or not key:
+                self._json(400, {
+                    "error": "expected a WebSocket upgrade (Upgrade: "
+                             "websocket + Sec-WebSocket-Key)"
+                })
+                return
+            if (self.headers.get("Sec-WebSocket-Version") or "") != "13":
+                # RFC 6455 §4.4: advertise the version we do speak
+                body = json.dumps(
+                    {"error": "unsupported WebSocket version"}
+                ).encode()
+                self.send_response(426)
+                self.send_header("Sec-WebSocket-Version", "13")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            try:
+                language = _validated_language(q.get("language"))
+                partial_interval = _parse_float(
+                    q.get("partial_interval"), "partial_interval"
+                )
+                diarize = _parse_bool(q.get("diarize"), "diarize")
+                ms = q.get("max_speakers")
+                max_speakers = (
+                    None if ms is None else _parse_int(ms, "max_speakers", 0)
+                )
+                fmt = (q.get("format") or "f32").lower()
+                if fmt not in ("f32", "i16"):
+                    raise _BadRequest(
+                        f"unknown format {fmt!r} (use f32 or i16)"
+                    )
+                sr = _parse_int(q.get("sample_rate"), "sample_rate",
+                                SAMPLE_RATE)
+                if sr <= 0:
+                    raise _BadRequest(f"sample_rate must be positive, got {sr}")
+            except _BadRequest as e:
+                self._json(400, {"error": str(e)})
+                return
+            try:
+                app._ws_acquire()
+            except _ServerBusy as e:
+                self._json(429, {"error": str(e)})
+                return
+            try:
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header(
+                    "Sec-WebSocket-Accept", wsmod.make_accept(key)
+                )
+                self.end_headers()
+                self.wfile.flush()
+                sock = wsmod.WebSocket(
+                    self.rfile, self.wfile, conn=self.connection,
+                    max_message_bytes=app.max_body_bytes,
+                )
+                wsmod.stream_session(
+                    sock, app.pipeline,
+                    language=language,
+                    partial_interval=partial_interval,
+                    diarize=diarize,
+                    max_speakers=max_speakers,
+                    pcm_format=fmt,
+                    sample_rate=sr,
+                    idle_timeout_s=app.stream_ttl_s,
+                )
+            finally:
+                app._ws_release()
+                self.close_connection = True
 
         def do_POST(self):
             url = urlparse(self.path)

@@ -414,7 +414,16 @@ class StreamingTranscriber:
     def process_available(self) -> None:
         """Synchronous drain (for tests / non-threaded use)."""
         samples = self.buffer.read()
-        chunks = self.chunker.push(samples) if len(samples) else []
+        # push even with no NEW samples while audio is pending: the
+        # max-latency force-flush is wall-clock-gated inside push(), so a
+        # client that feeds once and then waits (e.g. over the WebSocket
+        # push transport) must still get its chunk after max_latency_s —
+        # skipping push here left buffered audio undecodable until the
+        # next feed or stream end
+        if len(samples) or len(self.chunker._pending):
+            chunks = self.chunker.push(samples)
+        else:
+            chunks = []
         for chunk in chunks:
             self._emit(chunk, final=False)
             self._last_partial_len = 0
