@@ -59,6 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_speakers", default=None, type=int, help="Maximum number of speakers in audio file")
     parser.add_argument("--diarize_model", default="pyannote-tpu", type=str, help="Name/path of the speaker diarization model to use")
     parser.add_argument("--speaker_embeddings", action="store_true", help="Include speaker embeddings in JSON output (only works with --diarize)")
+    parser.add_argument("--diarize_clustering", default=None, choices=["ahc", "spectral", "plda"], help="Speaker clustering: cosine AHC (default), spectral, or PLDA log-likelihood-ratio scoring (WHISPERX_TPU_PLDA_CKPT or self-trained)")
 
     parser.add_argument("--temperature", type=float, default=0, help="temperature to use for sampling")
     parser.add_argument("--best_of", type=optional_int, default=5, help="number of candidates when sampling with non-zero temperature")

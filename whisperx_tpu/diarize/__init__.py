@@ -73,13 +73,22 @@ class DiarizationPipeline:
         import os
 
         self.model_name = model_name or "pyannote-tpu"
-        # "ahc" (cannot-link constrained average-linkage, default) or
-        # "spectral" (normalized-Laplacian eigengap count estimation)
+        # "ahc" (cannot-link constrained average-linkage cosine, default),
+        # "spectral" (normalized-Laplacian with connected-component count
+        # estimation), or "plda" (AHC over PLDA log-likelihood-ratio
+        # scores — trained params via WHISPERX_TPU_PLDA_CKPT, else
+        # self-trained on the utterance; see diarize/plda.py)
         self.clustering = (
             clustering
             or os.environ.get("WHISPERX_TPU_DIARIZE_CLUSTERING")
             or "ahc"
         ).lower()
+        if self.clustering not in ("ahc", "spectral", "plda"):
+            raise ValueError(
+                f"unknown clustering {self.clustering!r} "
+                "(use ahc, spectral, or plda)"
+            )
+        self._plda = None  # lazily loaded/trained for clustering="plda"
         if embedding_model is None:
             ckpt = os.environ.get("WHISPERX_TPU_SPEAKER_CKPT")
             if ckpt and os.path.isdir(ckpt):
@@ -154,6 +163,73 @@ class DiarizationPipeline:
         return df
 
     # ------------------------------------------------------------------
+    # clustering dispatch (shared by both diarization paths)
+    # ------------------------------------------------------------------
+
+    def _cluster(
+        self,
+        embeds: np.ndarray,
+        *,
+        num_clusters: Optional[int],
+        min_clusters: int,
+        max_clusters: Optional[int],
+        cannot_link=None,
+    ) -> np.ndarray:
+        if self.clustering == "spectral":
+            from whisperx_tpu.diarize.clustering import spectral_cluster
+
+            return spectral_cluster(
+                embeds,
+                num_clusters=num_clusters,
+                min_clusters=min_clusters,
+                max_clusters=max_clusters,
+                cannot_link=cannot_link,
+            )
+        if self.clustering == "plda":
+            dist = self._plda_distances(embeds)
+            if dist is not None:
+                return agglomerative_cluster(
+                    embeds,
+                    distances=dist,
+                    threshold=0.0,  # LLR > 0 ⇒ same speaker
+                    num_clusters=num_clusters,
+                    min_clusters=min_clusters,
+                    max_clusters=max_clusters,
+                    cannot_link=cannot_link,
+                )
+            # fall through to cosine when PLDA can't be obtained
+        return agglomerative_cluster(
+            embeds,
+            num_clusters=num_clusters,
+            min_clusters=min_clusters,
+            max_clusters=max_clusters,
+            cannot_link=cannot_link,
+        )
+
+    def _plda_distances(self, embeds: np.ndarray):
+        """Negated-LLR distance matrix for clustering="plda" — converted
+        params if available, else self-trained on this utterance's
+        embeddings; None (→ cosine fallback) when neither works."""
+        from whisperx_tpu.diarize.plda import (
+            load_plda,
+            plda_distances,
+            self_trained_plda,
+        )
+
+        if self._plda is None:
+            self._plda = load_plda()
+        plda = self._plda or self_trained_plda(embeds)
+        if plda is None:
+            import warnings
+
+            warnings.warn(
+                "clustering='plda' but no WHISPERX_TPU_PLDA_CKPT and too "
+                "few embeddings to self-train; falling back to cosine AHC."
+            )
+            return None
+        return plda_distances(embeds, plda)
+
+    # ------------------------------------------------------------------
     # pyannote-3.1-style path: segmentation → clean-frame embeddings →
     # constrained clustering → overlap-aware aggregation
     # ------------------------------------------------------------------
@@ -217,24 +293,13 @@ class DiarizationPipeline:
             for ai, a in enumerate(idxs)
             for b in idxs[ai + 1:]
         ]
-        if self.clustering == "spectral":
-            from whisperx_tpu.diarize.clustering import spectral_cluster
-
-            labels = spectral_cluster(
-                embeds,
-                num_clusters=num_speakers,
-                min_clusters=est_min,
-                max_clusters=max_speakers,
-                cannot_link=cannot_link,
-            )
-        else:
-            labels = agglomerative_cluster(
-                embeds,
-                num_clusters=num_speakers,
-                min_clusters=est_min,
-                max_clusters=max_speakers,
-                cannot_link=cannot_link,
-            )
+        labels = self._cluster(
+            embeds,
+            num_clusters=num_speakers,
+            min_clusters=est_min,
+            max_clusters=max_speakers,
+            cannot_link=cannot_link,
+        )
         n_global = int(labels.max()) + 1 if len(labels) else 0
 
         # aggregate window-local activity under global labels on a shared
@@ -307,22 +372,12 @@ class DiarizationPipeline:
             return [], np.zeros(0, np.int32), np.zeros((0, 1), np.float32)
 
         embeds = self.embedding.embed(np.stack([w[2] for w in windows]))
-        if self.clustering == "spectral":
-            from whisperx_tpu.diarize.clustering import spectral_cluster
-
-            labels = spectral_cluster(
-                embeds,
-                num_clusters=num_speakers,
-                min_clusters=min_speakers or 1,
-                max_clusters=max_speakers,
-            )
-        else:
-            labels = agglomerative_cluster(
-                embeds,
-                num_clusters=num_speakers,
-                min_clusters=min_speakers or 1,
-                max_clusters=max_speakers,
-            )
+        labels = self._cluster(
+            embeds,
+            num_clusters=num_speakers,
+            min_clusters=min_speakers or 1,
+            max_clusters=max_speakers,
+        )
 
         turns = []
         for (start, end, _), lab in zip(windows, labels):

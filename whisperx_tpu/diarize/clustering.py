@@ -25,11 +25,17 @@ def agglomerative_cluster(
     max_clusters: Optional[int] = None,
     threshold: float = 0.35,
     cannot_link=None,
+    distances: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Average-linkage AHC on cosine distance. Returns labels [N].
 
     Stops at ``num_clusters`` if given; otherwise merges while the closest
     pair is under ``threshold``, clamped to [min_clusters, max_clusters].
+
+    ``distances``: optional precomputed [N, N] distance matrix replacing
+    the cosine default — e.g. negated PLDA log-likelihood ratios
+    (diarize/plda.py), where ``threshold=0.0`` makes every merge the
+    Bayes same/different-speaker decision.
 
     ``cannot_link``: iterable of (i, j) item-index pairs that must end in
     DIFFERENT clusters — e.g. two local speakers active in the same
@@ -48,7 +54,14 @@ def agglomerative_cluster(
     for i, j in cannot_link or ():
         forbid[i, j] = forbid[j, i] = True
 
-    dist = cosine_distance_matrix(embeddings)
+    if distances is not None:
+        dist = np.array(distances, np.float64)
+        if dist.shape != (n, n):
+            raise ValueError(
+                f"distances must be [{n}, {n}], got {dist.shape}"
+            )
+    else:
+        dist = cosine_distance_matrix(embeddings)
     np.fill_diagonal(dist, np.inf)
     clusters = {i: [i] for i in range(n)}
     # cluster-level distance matrix (average linkage), updated in place;

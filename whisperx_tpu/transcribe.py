@@ -57,6 +57,7 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
     min_speakers = args.pop("min_speakers")
     max_speakers = args.pop("max_speakers")
     diarize_model_name: str = args.pop("diarize_model")
+    diarize_clustering: str = args.pop("diarize_clustering", None)
     print_progress: bool = args.pop("print_progress")
     return_speaker_embeddings: bool = args.pop("speaker_embeddings")
     args.pop("fp16", None)
@@ -235,7 +236,8 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
         print(">>Performing diarization...")
         print(">>Using model:", diarize_model_name)
         diarize_model = DiarizationPipeline(
-            model_name=diarize_model_name, use_auth_token=hf_token, device=device
+            model_name=diarize_model_name, use_auth_token=hf_token,
+            device=device, clustering=diarize_clustering,
         )
         for result, audio_path in tmp_results:
             diarize_result = diarize_model(
