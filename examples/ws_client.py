@@ -110,29 +110,36 @@ def main():
     done = threading.Event()
 
     def reader():
-        # results arrive PUSHED, interleaved with our sends
-        while not done.is_set():
-            try:
-                op, payload = ws.recv_frame()
-            except (ConnectionError, OSError):
-                break
-            if op == 0x8:  # close
-                break
-            if op != 0x1:
-                continue
-            msg = json.loads(payload)
-            if msg["op"] == "result":
-                tag = "partial" if msg.get("provisional") else "final  "
-                lat = msg.get("latency_s")
-                lat_s = f"  ({lat:.2f}s behind live)" if lat is not None else ""
-                print(f"[{tag}] {msg['start']:7.2f}-{msg['end']:7.2f}  "
-                      f"{msg['text']}{lat_s}")
-            elif msg["op"] == "end":
-                print(f"-- stream closed: {msg['result_count']} results, "
-                      f"latency {json.dumps(msg['latency'])}")
-                done.set()
-            elif msg["op"] == "error":
-                print(f"!! {msg['error']}")
+        # results arrive PUSHED, interleaved with our sends; ANY exit
+        # (close frame, socket death) must release the main thread
+        try:
+            while not done.is_set():
+                try:
+                    op, payload = ws.recv_frame()
+                except (ConnectionError, OSError):
+                    print("-- connection closed by server")
+                    break
+                if op == 0x8:  # close
+                    break
+                if op != 0x1:
+                    continue
+                msg = json.loads(payload)
+                if msg["op"] == "result":
+                    tag = "partial" if msg.get("provisional") else "final  "
+                    lat = msg.get("latency_s")
+                    lat_s = (
+                        f"  ({lat:.2f}s behind live)" if lat is not None else ""
+                    )
+                    print(f"[{tag}] {msg['start']:7.2f}-{msg['end']:7.2f}  "
+                          f"{msg['text']}{lat_s}")
+                elif msg["op"] == "end":
+                    print(f"-- stream closed: {msg['result_count']} results, "
+                          f"latency {json.dumps(msg['latency'])}")
+                    done.set()
+                elif msg["op"] == "error":
+                    print(f"!! {msg['error']}")
+        finally:
+            done.set()
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()

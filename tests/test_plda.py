@@ -101,6 +101,45 @@ def test_fit_rejects_degenerate_labels():
         PLDA.fit(x, np.zeros(10))  # one class
 
 
+def test_fit_rank_guard_high_dim_low_n():
+    """Self-training regime: far fewer samples than dims. Without the
+    PCA rank guard the singular within-scatter gets floored and its
+    null-space directions dominate the LLR with pure noise."""
+    rng = np.random.default_rng(8)
+    d, n_spk, per = 64, 4, 3  # N=12 << D=64
+    mu = rng.normal(0, 1, d)
+    xs, labels = [], []
+    for s in range(n_spk):
+        v = rng.normal(0, 2.0, d)
+        xs.append(mu + v + rng.normal(0, 0.3, (per, d)))
+        labels += [s] * per
+    x, labels = np.concatenate(xs), np.array(labels)
+    plda = PLDA.fit(x, labels, length_norm=False)
+    # transform projected to the measurable rank, not [D, D]
+    assert plda.transform.shape[0] <= 12 - n_spk + 1
+    assert plda.transform.shape[1] == d
+    llr = plda.llr_matrix(x)
+    same = labels[:, None] == labels[None, :]
+    off = ~np.eye(len(x), dtype=bool)
+    assert np.isfinite(llr).all()
+    assert llr[same & off].mean() > llr[~same].mean()
+
+
+def test_save_load_accepts_suffixless_path(tmp_path):
+    """np.savez appends .npz — save('p') then load('p') must round-trip,
+    and load_plda must honor a suffixless WHISPERX_TPU_PLDA_CKPT."""
+    rng = np.random.default_rng(9)
+    x, labels = _synthetic_speakers(rng)
+    plda = PLDA.fit(x, labels)
+    bare = str(tmp_path / "plda")  # no .npz
+    plda.save(bare)
+    loaded = PLDA.load(bare)
+    np.testing.assert_allclose(
+        loaded.llr_matrix(x[:4]), plda.llr_matrix(x[:4]), rtol=1e-12
+    )
+    assert load_plda(bare) is not None
+
+
 def test_save_load_roundtrip(tmp_path):
     rng = np.random.default_rng(5)
     x, labels = _synthetic_speakers(rng)

@@ -308,6 +308,104 @@ def test_ws_sessions_share_max_streams_budget(server):
     c3.close()
 
 
+def test_long_poll_start_counts_ws_sessions(server):
+    """The max_streams budget is shared in BOTH directions: with a live
+    WS session occupying the last slot, POST /v1/stream/start must 429."""
+    import urllib.error
+    import urllib.request
+
+    srv, port = server
+    srv.max_streams = 1
+    c = WSClient(port)
+    assert c.status == 101
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/stream/start", data=b"", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 429
+    c.send_json({"op": "end"})
+    c.close()
+
+
+def test_feed_backpressure_loses_no_audio():
+    """A client pumping faster than the decode must not overwrite the
+    ring buffer: _feed_backpressured blocks until the worker drains, so
+    the pipeline sees every fed sample exactly once."""
+    import whisperx_tpu.serve.ws as wsmod
+    from whisperx_tpu.serve.streaming import (
+        StreamingConfig,
+        StreamingTranscriber,
+    )
+
+    class CountingPipeline:
+        def __init__(self):
+            self.samples_seen = 0
+            self.language = "en"
+            self.task = "transcribe"
+
+        def transcribe(self, audio, **kw):
+            # count only true (unpadded) samples: _emit pads to whole
+            # seconds with zeros, audio here is nonzero
+            self.samples_seen += int(np.count_nonzero(audio))
+            return {"segments": [], "language": "en"}
+
+    pipe = CountingPipeline()
+    cfg = StreamingConfig(
+        buffer_seconds=1.0,          # tiny ring: 16000 samples
+        min_chunk_seconds=0.25,
+        max_latency_seconds=0.0,     # worker flushes every tick
+        silence_flush_seconds=0.01,
+    )
+    tr = StreamingTranscriber(pipe, cfg)
+    tr.start()
+    dead = __import__("threading").Event()
+    total = 3 * 16000  # 3x the ring capacity
+    audio = np.full(total, 0.25, np.float32)
+    wsmod._feed_backpressured(tr, audio, dead, poll_s=0.01)
+    tr.stop()
+    assert pipe.samples_seen == total
+
+    # dead worker: the fallback feeds the remainder instead of hanging
+    tr2 = StreamingTranscriber(pipe, cfg)  # never started
+    wsmod._feed_backpressured(
+        tr2, np.full(2 * 16000, 0.25, np.float32), dead, poll_s=0.01
+    )
+    assert len(tr2.buffer) == 16000  # ring holds last capacity's worth
+
+
+def test_idle_ticks_skip_vad_until_flush_due():
+    """process_available with no new samples must not rerun VAD over the
+    pending buffer every tick — only once the force-flush is due."""
+    from whisperx_tpu.serve.streaming import (
+        StreamingConfig,
+        StreamingTranscriber,
+    )
+
+    pipe = FakePipeline()
+    tr = StreamingTranscriber(
+        pipe, StreamingConfig(min_chunk_seconds=0.5, max_latency_seconds=60.0)
+    )
+    calls = {"n": 0}
+    real = tr.chunker.vad.speech_probs
+
+    def counting(x):
+        calls["n"] += 1
+        return real(x)
+
+    tr.chunker.vad.speech_probs = counting
+    tr.feed(np.full(32000, 0.3, np.float32))
+    tr.process_available()
+    base = calls["n"]
+    for _ in range(5):
+        tr.process_available()  # idle, latency not due
+    assert calls["n"] == base
+    tr.chunker._last_emit -= 61.0
+    tr.process_available()  # now due → one more VAD pass + flush
+    assert calls["n"] == base + 1
+    assert tr.results
+
+
 def test_health_reports_ws_sessions(server):
     srv, port = server
     import urllib.request

@@ -84,19 +84,34 @@ class PLDA:
             )
         d = x.shape[1]
         mean = x.mean(axis=0)
+        n_within = sum(len(idx) - 1 for idx in multi)
 
-        sw = np.zeros((d, d))
-        n_within = 0
+        # Rank guard: with fewer within-class degrees of freedom than
+        # dimensions (the self-training regime: tens of windows, a
+        # 100+-dim embedding) the within scatter is singular, and
+        # flooring its null-space eigenvalues would whiten unmeasurable
+        # directions by 1/sqrt(floor) — noise there would then dominate
+        # the LLR. Project onto the top-r principal components first.
+        r = int(min(d, n_within, len(x) - 1))
+        x_c = x - mean
+        if r < d:
+            _, _, vt = np.linalg.svd(x_c, full_matrices=False)
+            basis = vt[:r]  # [r, d]
+            x_p = x_c @ basis.T
+        else:
+            basis = None
+            x_p = x_c
+
+        sw = np.zeros((r, r))
         for idx in multi:
-            xc = x[idx] - x[idx].mean(axis=0)
+            xc = x_p[idx] - x_p[idx].mean(axis=0)
             sw += xc.T @ xc
-            n_within += len(idx) - 1
         sw /= max(n_within, 1)
 
         n_total = sum(len(idx) for idx in classes)
-        sb = np.zeros((d, d))
+        sb = np.zeros((r, r))
         for idx in classes:
-            mc = x[idx].mean(axis=0) - mean
+            mc = x_p[idx].mean(axis=0) - x_p.mean(axis=0)
             sb += len(idx) * np.outer(mc, mc)
         sb /= n_total
 
@@ -113,7 +128,9 @@ class PLDA:
         # which is identity/n_c in the whitened space
         noise = float(np.mean([1.0 / len(idx) for idx in classes]))
         psi = np.maximum(eb - noise, floor)
-        transform = ub.T @ w1
+        transform = ub.T @ w1  # [r, r]
+        if basis is not None:
+            transform = transform @ basis  # [r, d]
         return cls(mean, transform, psi, length_norm=length_norm)
 
     # -- persistence ---------------------------------------------------------
@@ -126,6 +143,10 @@ class PLDA:
 
     @classmethod
     def load(cls, path: str) -> "PLDA":
+        # np.savez appends ".npz" when the suffix is missing — accept the
+        # same path back (save("plda") → load("plda") must work)
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
         z = np.load(path)
         return cls(
             z["mean"], z["transform"], z["psi"],
@@ -212,6 +233,6 @@ def self_trained_plda(
 def load_plda(path: Optional[str] = None) -> Optional[PLDA]:
     """PLDA params from an npz checkpoint (arg, or WHISPERX_TPU_PLDA_CKPT)."""
     path = path or os.environ.get("WHISPERX_TPU_PLDA_CKPT")
-    if path and os.path.exists(path):
+    if path and (os.path.exists(path) or os.path.exists(path + ".npz")):
         return PLDA.load(path)
     return None

@@ -422,9 +422,10 @@ class TranscriptionServer:
         tr = StreamingTranscriber(self.pipeline, cfg)
         sid = uuid.uuid4().hex[:12]
         with self._streams_lock:
-            if len(self.streams) >= self.max_streams:
-                # each session pins a ring buffer + results; cap the table
-                # so a client flood degrades to 429s, not an OOM
+            # each session pins a ring buffer + results; cap the table so
+            # a client flood degrades to 429s, not an OOM. WS sessions
+            # share the budget — count BOTH directions of the split.
+            if len(self.streams) + self._ws_active >= self.max_streams:
                 raise _ServerBusy(
                     f"at max_streams ({self.max_streams}); retry later"
                 )

@@ -115,6 +115,20 @@ class StreamingChunker:
         self._pending = np.zeros(0, np.float32)
         self._last_emit = time.monotonic()
 
+    def force_due(self) -> bool:
+        """True when push() would force-flush the pending audio even with
+        no new samples (max-latency elapsed or the 30 s hard cap) — lets
+        idle callers skip the VAD pass that push() would otherwise rerun
+        over the whole pending buffer every tick."""
+        sr = self.config.sample_rate
+        if len(self._pending) < int(self.config.min_chunk_seconds * sr):
+            return False
+        return (
+            time.monotonic() - self._last_emit
+            >= self.config.max_latency_seconds
+            or len(self._pending) >= 30 * sr
+        )
+
     def push(self, samples: np.ndarray) -> List[np.ndarray]:
         """Feed samples; returns zero or more complete chunks."""
         self._pending = np.concatenate(
@@ -324,6 +338,11 @@ class StreamingTranscriber:
         self._offset_s = 0.0
         self._stop = threading.Event()
         self._worker: Optional[threading.Thread] = None
+        # serializes decode passes (worker ticks, sync callers, stop()'s
+        # tail flush): if stop()'s bounded join times out mid-decode, the
+        # tail flush must not mutate chunker/buffer state concurrently
+        # with the still-running pass
+        self._proc_lock = threading.Lock()
         # latency accounting: (cumulative samples fed, wall time)
         self._fed = 0
         self._consumed = 0
@@ -402,8 +421,14 @@ class StreamingTranscriber:
         if self._worker:
             self._worker.join(timeout=10)
             self._worker = None
-        tail = self.chunker.flush()
-        pending = self.buffer.read()
+        # _proc_lock: if the join timed out because the worker is inside a
+        # long decode (cold-compile stalls run ~90 s), wait for that pass
+        # to finish rather than flushing chunker/_pending underneath it —
+        # the worker re-checks _stop after its pass and exits, so no
+        # further results can land after this flush returns
+        with self._proc_lock:
+            tail = self.chunker.flush()
+            pending = self.buffer.read()
         remainder = (
             np.concatenate([tail, pending]) if tail is not None else pending
         )
@@ -412,15 +437,21 @@ class StreamingTranscriber:
         return self.results
 
     def process_available(self) -> None:
-        """Synchronous drain (for tests / non-threaded use)."""
+        """Synchronous drain (also the worker's tick; serialized with
+        stop()'s tail flush via _proc_lock)."""
+        with self._proc_lock:
+            self._process_available_locked()
+
+    def _process_available_locked(self) -> None:
         samples = self.buffer.read()
-        # push even with no NEW samples while audio is pending: the
-        # max-latency force-flush is wall-clock-gated inside push(), so a
-        # client that feeds once and then waits (e.g. over the WebSocket
-        # push transport) must still get its chunk after max_latency_s —
-        # skipping push here left buffered audio undecodable until the
-        # next feed or stream end
-        if len(samples) or len(self.chunker._pending):
+        # push with no NEW samples too, but only once the force-flush is
+        # actually due: the max-latency flush is wall-clock-gated inside
+        # push(), so a client that feeds once and then waits (e.g. over
+        # the WebSocket push transport) must still get its chunk after
+        # max_latency_s — while gating on force_due() keeps the idle
+        # 50 ms worker ticks from rerunning VAD over the whole pending
+        # buffer every time
+        if len(samples) or self.chunker.force_due():
             chunks = self.chunker.push(samples)
         else:
             chunks = []

@@ -268,7 +268,9 @@ def stream_session(
             op, data = msg
             if op == OP_BINARY:
                 if data:
-                    tr.feed(_decode_pcm(data, pcm_format, sample_rate))
+                    _feed_backpressured(
+                        tr, _decode_pcm(data, pcm_format, sample_rate), dead
+                    )
                 continue
             # TEXT control
             try:
@@ -304,14 +306,31 @@ def stream_session(
         tr.abandon()
 
 
-def client_handshake_headers(key: str, host: str, path: str) -> bytes:
-    """Raw HTTP/1.1 upgrade request bytes (used by tests and example
-    clients; servers never call this)."""
-    return (
-        f"GET {path} HTTP/1.1\r\n"
-        f"Host: {host}\r\n"
-        "Upgrade: websocket\r\n"
-        "Connection: Upgrade\r\n"
-        f"Sec-WebSocket-Key: {key}\r\n"
-        "Sec-WebSocket-Version: 13\r\n\r\n"
-    ).encode()
+def _feed_backpressured(
+    tr, audio: np.ndarray, dead: threading.Event, poll_s: float = 0.05
+) -> None:
+    """Feed without overrunning the transcriber's ring buffer.
+
+    A WS client can pump audio far faster than the worker decodes
+    (examples/ws_client.py sends a whole file at socket speed unless
+    --realtime); the ring buffer silently overwrites its oldest samples
+    on overflow, which would DROP transcript audio. Blocking here stalls
+    the receive loop, TCP flow control propagates the stall to the
+    client, and nothing is lost. The long-poll transport gets the same
+    property from its synchronous per-POST drain."""
+    pos = 0
+    while pos < len(audio) and not dead.is_set():
+        free = tr.buffer.capacity - len(tr.buffer)
+        if free <= 0:
+            worker = tr._worker
+            if worker is None or not worker.is_alive():
+                # nobody is draining (worker died/stopped): feeding the
+                # rest loses the oldest samples, but spinning here would
+                # hang the session forever
+                tr.feed(audio[pos:])
+                return
+            time.sleep(poll_s)
+            continue
+        n = min(free, len(audio) - pos)
+        tr.feed(audio[pos : pos + n])
+        pos += n
