@@ -316,33 +316,84 @@ def transcribe(
                 last_speech_timestamp=prev_speech_timestamp,
             )
 
+            # word ends are finer-grained than timestamp tokens: when the
+            # window ends mid-segment, resume exactly where speech stopped
+            if not single_timestamp_ending:
+                last_word_end = _last_word_end(current_segments)
+                if last_word_end is not None and last_word_end > time_offset:
+                    seek = round(last_word_end * FRAMES_PER_SECOND)
+
             if hallucination_silence_threshold is not None:
                 threshold = hallucination_silence_threshold
-                kept = []
-                for segment in current_segments:
-                    if _seems_hallucination(segment):
-                        gap_before = segment["start"] - (
-                            kept[-1]["end"] if kept else prev_speech_timestamp
-                        )
-                        if gap_before > threshold:
-                            continue
-                    kept.append(segment)
-                current_segments = kept
+                window_end_time = (previous_seek + N_FRAMES) * time_per_frame
+                segment_duration = segment_size * time_per_frame
 
-            # advance the baseline / seek from the SURVIVING segments only
-            word_end_timestamps = [
-                w["end"]
-                for s in current_segments
-                for w in s.get("words", [])
-            ]
-            if len(word_end_timestamps) > 0:
-                last_speech_timestamp = word_end_timestamps[-1]
+                # a trailing unconsumed region longer than the threshold is
+                # silence worth re-seeking into; shorter means the window is
+                # effectively spent — advance a full stride
                 if not single_timestamp_ending:
-                    seek_shift = round(
-                        (word_end_timestamps[-1] - time_offset) * FRAMES_PER_SECOND
-                    )
-                    if seek_shift > 0:
-                        seek = previous_seek + seek_shift
+                    last_word_end = _last_word_end(current_segments)
+                    if last_word_end is not None and last_word_end > time_offset:
+                        remaining = window_end_time - last_word_end
+                        if remaining > threshold:
+                            seek = round(last_word_end * FRAMES_PER_SECOND)
+                        else:
+                            seek = previous_seek + segment_size
+
+                # an anomalous FIRST segment after a long leading gap is a
+                # hallucination conjured from silence: skip the gap and
+                # re-decode from where it claimed to start
+                first_segment = _next_words_segment(current_segments)
+                if first_segment is not None and _is_segment_anomaly(
+                    first_segment
+                ):
+                    gap = first_segment["start"] - time_offset
+                    if gap > threshold:
+                        seek = previous_seek + round(gap * FRAMES_PER_SECOND)
+                        continue
+
+                # evict any anomalous segment surrounded by silence (or by
+                # more anomalies) and everything after it, then re-seek to
+                # just before it — with ≥1 s forward progress guaranteed
+                hal_last_end = prev_speech_timestamp
+                for si, segment in enumerate(current_segments):
+                    if not segment.get("words"):
+                        continue
+                    if _is_segment_anomaly(segment):
+                        next_segment = _next_words_segment(
+                            current_segments[si + 1 :]
+                        )
+                        if next_segment is not None:
+                            hal_next_start = next_segment["words"][0]["start"]
+                        else:
+                            hal_next_start = time_offset + segment_duration
+                        silence_before = (
+                            segment["start"] - hal_last_end > threshold
+                            or segment["start"] < threshold
+                            or segment["start"] - time_offset < 2.0
+                        )
+                        silence_after = (
+                            hal_next_start - segment["end"] > threshold
+                            or _is_segment_anomaly(next_segment)
+                            or window_end_time - segment["end"] < 2.0
+                        )
+                        if silence_before and silence_after:
+                            seek = round(
+                                max(time_offset + 1, segment["start"])
+                                * FRAMES_PER_SECOND
+                            )
+                            if content_duration - segment["end"] < threshold:
+                                seek = content_frames
+                            current_segments[si:] = []
+                            break
+                    hal_last_end = segment["end"]
+
+            # the speech baseline advances from the SURVIVING segments only
+            # (seek was already set above; the hallucination block's seek
+            # decisions are deliberate and must not be overridden here)
+            last_word_end = _last_word_end(current_segments)
+            if last_word_end is not None:
+                last_speech_timestamp = last_word_end
 
         if verbose:
             for segment in current_segments:
@@ -376,10 +427,50 @@ def transcribe(
     }
 
 
-def _seems_hallucination(segment: dict) -> bool:
-    """Word-probability heuristic from Whisper's hallucination skipping."""
-    words = segment.get("words", [])
-    if not words:
+# punctuation-only "words" carry no timing evidence for anomaly scoring
+_ANOMALY_PUNCTUATION = "\"'“¿([{-" + "\"'.。,，!！?？:：”)]}、"
+
+
+def _word_anomaly_score(word: dict) -> float:
+    """How implausible one word's (probability, duration) pair is.
+
+    Whisper's hallucination heuristic: low-confidence words, impossibly
+    fast words (<133 ms) and implausibly slow ones (>2 s) each add to the
+    score; a segment of such words is a hallucination candidate.
+    """
+    probability = word.get("probability", 0.0)
+    duration = word["end"] - word["start"]
+    score = 0.0
+    if probability < 0.15:
+        score += 1.0
+    if duration < 0.133:
+        score += (0.133 - duration) * 15
+    if duration > 2.0:
+        score += duration - 2.0
+    return score
+
+
+def _is_segment_anomaly(segment: Optional[dict]) -> bool:
+    if segment is None or not segment.get("words"):
         return False
-    scores = [w.get("probability", w.get("score", 1.0)) for w in words]
-    return float(np.mean(scores)) < 0.3
+    words = [
+        w for w in segment["words"] if w["word"] not in _ANOMALY_PUNCTUATION
+    ][:8]
+    score = sum(_word_anomaly_score(w) for w in words)
+    return score >= 3 or score + 0.01 >= len(words)
+
+
+def _next_words_segment(segments: List[dict]) -> Optional[dict]:
+    return next((s for s in segments if s.get("words")), None)
+
+
+def _last_word_end(segments: List[dict]) -> Optional[float]:
+    """End time of the last word across segments (whisper's get_end)."""
+    return next(
+        (
+            w["end"]
+            for s in reversed(segments)
+            for w in reversed(s.get("words", []))
+        ),
+        None,
+    )

@@ -54,7 +54,9 @@ def _energy_probs_jit(audio: jnp.ndarray, n_windows) -> jnp.ndarray:
     hi = _masked_percentile(es, 95.0, n_windows)
     mid = 0.5 * (lo + hi)
     scale = 8.0 / jnp.maximum(hi - lo, 1e-3)
-    probs = 1.0 / (1.0 + jnp.exp(-scale * (energy - mid)))
+    # tanh form of the sigmoid: exp(±large) overflows f32 for windows far
+    # from mid (e.g. digital silence), tanh saturates cleanly
+    probs = 0.5 * (1.0 + jnp.tanh(0.5 * scale * (energy - mid)))
     probs = jnp.where(energy < ENERGY_FLOOR, 0.0, probs)
     return jnp.where(hi - lo < 1e-3, 0.0, probs)
 
@@ -86,7 +88,9 @@ class EnergyVAD:
             return np.zeros(t, np.float32)
         mid = 0.5 * (lo + hi)
         scale = 8.0 / max(hi - lo, 1e-3)
-        probs = 1.0 / (1.0 + np.exp(-scale * (energy - mid)))
+        # tanh form of the sigmoid (see _energy_probs_jit): identical
+        # values, no RuntimeWarning overflow on digital-silence windows
+        probs = 0.5 * (1.0 + np.tanh(0.5 * scale * (energy - mid)))
         return np.where(energy < ENERGY_FLOOR, 0.0, probs).astype(np.float32)
 
     def __call__(self, audio_dict, **options) -> List[SpeechSegment]:
