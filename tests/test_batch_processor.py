@@ -83,3 +83,18 @@ def test_rtf_tracker():
     assert rep["asr"]["calls"] == 1
     assert rep["asr"]["audio_s"] == 30.0
     assert "asr" in tracker.dump()
+
+
+def test_batch_vad_padding_does_not_skew_short_streams(speech_5s):
+    """Energy-VAD stats are per-stream at TRUE length: a short clip batched
+    with a much longer one must segment identically to a solo pass (zero
+    padding must not shift its adaptive speech/noise threshold)."""
+    proc = BatchVADProcessor()
+    short = speech_5s[:16000]  # 1 s of speech, padded to 5 s in the batch
+    solo = proc.process_batch([short])[0]
+    batched = proc.process_batch([speech_5s, short])[1]
+    assert [(s.start, s.end) for s in batched] == [
+        (s.start, s.end) for s in solo
+    ]
+    for s in batched:  # never report speech inside the padded tail
+        assert s.end <= 1.0 + 0.1

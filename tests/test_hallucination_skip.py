@@ -230,3 +230,81 @@ def test_no_threshold_keeps_anomalies(seek_loop_harness):
         compression_ratio_threshold=None,
     )
     assert any(s["start"] == pytest.approx(20.0) for s in result["segments"])
+
+
+class TestEvictSurroundedAnomalies:
+    """The shared eviction rule (seek loop + batched per-chunk path)."""
+
+    @staticmethod
+    def _run(segments, threshold=2.0, t0=0.0, t1=30.0, last_speech=0.0):
+        from whisperx_tpu.decoding.transcribe import evict_surrounded_anomalies
+
+        return evict_surrounded_anomalies(
+            segments, threshold=threshold, time_offset=t0,
+            window_end_time=t1, segment_duration=t1 - t0,
+            last_speech_timestamp=last_speech,
+        )
+
+    @staticmethod
+    def _seg(start, end, good=True):
+        seg = {"start": start, "end": end, "text": "x"}
+        seg["words"] = (_good_words if good else _hallucinated_words)(seg)
+        return seg
+
+    def test_clean_segments_pass_through(self):
+        segs = [self._seg(0.0, 2.0), self._seg(2.5, 5.0)]
+        kept, evicted = self._run(segs)
+        assert kept == segs and evicted is None
+
+    def test_surrounded_anomaly_and_tail_evicted(self):
+        segs = [
+            self._seg(0.0, 2.0),
+            self._seg(10.0, 12.0, good=False),  # 8 s silence both sides
+            self._seg(25.0, 27.0),
+        ]
+        kept, evicted = self._run(segs, last_speech=0.0)
+        assert [s["start"] for s in kept] == [0.0]
+        assert evicted["start"] == 10.0
+
+    def test_anomaly_adjacent_to_speech_kept(self):
+        # anomalous but speech directly before AND after → not surrounded
+        segs = [
+            self._seg(0.0, 9.9),
+            self._seg(10.0, 12.0, good=False),
+            self._seg(12.1, 14.0),
+        ]
+        # place it away from window edges: window [0, 30], ends 16 s early
+        kept, evicted = self._run(segs, t1=30.0)
+        # silence_after requires >threshold gap / anomaly / window tail <2 s
+        # — none hold, so the segment survives
+        assert evicted is None and len(kept) == 3
+
+    def test_wordless_segments_ignored(self):
+        segs = [{"start": 0.0, "end": 1.0, "text": "x", "words": []}]
+        kept, evicted = self._run(segs)
+        assert kept == segs and evicted is None
+
+
+def test_batched_pipeline_warns_without_word_timestamps(nano_model):
+    """hallucination_silence_threshold without word_timestamps warns and is
+    ignored on the batched path (upstream requires word timestamps too)."""
+    from whisperx_tpu.asr import TranscriptionPipeline
+    from whisperx_tpu.vad import load_vad_model
+    from tests.conftest import synth_speech
+
+    pipe = TranscriptionPipeline(
+        model=nano_model,
+        vad_model=load_vad_model("energy"),
+        asr_options={
+            "hallucination_silence_threshold": 2.0,
+            "temperatures": (0.0,),
+            "sample_len": 4,
+            "log_prob_threshold": None,
+            "compression_ratio_threshold": None,
+            "no_speech_threshold": None,
+        },
+        language="en",
+        batch_size=2,
+    )
+    with pytest.warns(UserWarning, match="word_timestamps"):
+        pipe.transcribe(synth_speech(4.0, seed=3), batch_size=2)

@@ -55,6 +55,9 @@ DEFAULT_ASR_OPTIONS = {
     "without_timestamps": False,
     "max_initial_timestamp": 1.0,
     "word_timestamps": False,
+    # evict low-confidence segments surrounded by silence (requires
+    # word_timestamps; reference option surface: mlx_whisper.py:84)
+    "hallucination_silence_threshold": None,
     "sample_len": None,  # max tokens per chunk (None = n_text_ctx // 2)
     "suppress_numerals": False,
     # int8 cross-KV cache: ~30% faster decode step (halves its dominant
@@ -552,6 +555,9 @@ class TranscriptionPipeline:
             "condition_on_previous_text": o["condition_on_previous_text"],
             "initial_prompt": initial_prompt,
             "word_timestamps": o["word_timestamps"],
+            "hallucination_silence_threshold": o.get(
+                "hallucination_silence_threshold"
+            ),
             "beam_size": o["beam_size"],
             "best_of": o["best_of"],
             "suppress_tokens": o["suppress_tokens"],
@@ -818,6 +824,37 @@ class TranscriptionPipeline:
                     mels=mels,
                     num_frames_list=nf,
                 )
+            hst = o.get("hallucination_silence_threshold")
+            if hst is not None:
+                # per-chunk anomaly eviction (reference parity: its batch
+                # backend runs the full per-window hallucination logic
+                # inside each chunk's transcribe call). Chunks are
+                # VAD-bounded speech regions, so the seek-loop's
+                # silence-skip re-decoding has nothing to skip — eviction
+                # of surrounded anomalies is the meaningful part here.
+                from whisperx_tpu.decoding.transcribe import (
+                    evict_surrounded_anomalies,
+                )
+
+                for idx, ch in enumerate(chunks):
+                    if not chunk_segs[idx]:
+                        continue
+                    kept, _ = evict_surrounded_anomalies(
+                        chunk_segs[idx],
+                        threshold=hst,
+                        time_offset=ch["start"],
+                        window_end_time=ch["end"],
+                        segment_duration=ch["end"] - ch["start"],
+                        last_speech_timestamp=ch["start"],
+                    )
+                    chunk_segs[idx] = kept
+        elif o.get("hallucination_silence_threshold") is not None:
+            import warnings
+
+            warnings.warn(
+                "hallucination_silence_threshold requires "
+                "word_timestamps=True; ignoring it."
+            )
 
         segments = []
         for ch, segs in zip(chunks, chunk_segs):

@@ -355,38 +355,22 @@ def transcribe(
                 # evict any anomalous segment surrounded by silence (or by
                 # more anomalies) and everything after it, then re-seek to
                 # just before it — with ≥1 s forward progress guaranteed
-                hal_last_end = prev_speech_timestamp
-                for si, segment in enumerate(current_segments):
-                    if not segment.get("words"):
-                        continue
-                    if _is_segment_anomaly(segment):
-                        next_segment = _next_words_segment(
-                            current_segments[si + 1 :]
-                        )
-                        if next_segment is not None:
-                            hal_next_start = next_segment["words"][0]["start"]
-                        else:
-                            hal_next_start = time_offset + segment_duration
-                        silence_before = (
-                            segment["start"] - hal_last_end > threshold
-                            or segment["start"] < threshold
-                            or segment["start"] - time_offset < 2.0
-                        )
-                        silence_after = (
-                            hal_next_start - segment["end"] > threshold
-                            or _is_segment_anomaly(next_segment)
-                            or window_end_time - segment["end"] < 2.0
-                        )
-                        if silence_before and silence_after:
-                            seek = round(
-                                max(time_offset + 1, segment["start"])
-                                * FRAMES_PER_SECOND
-                            )
-                            if content_duration - segment["end"] < threshold:
-                                seek = content_frames
-                            current_segments[si:] = []
-                            break
-                    hal_last_end = segment["end"]
+                kept, evicted = evict_surrounded_anomalies(
+                    current_segments,
+                    threshold=threshold,
+                    time_offset=time_offset,
+                    window_end_time=window_end_time,
+                    segment_duration=segment_duration,
+                    last_speech_timestamp=prev_speech_timestamp,
+                )
+                if evicted is not None:
+                    seek = round(
+                        max(time_offset + 1, evicted["start"])
+                        * FRAMES_PER_SECOND
+                    )
+                    if content_duration - evicted["end"] < threshold:
+                        seek = content_frames
+                    current_segments = kept
 
             # the speech baseline advances from the SURVIVING segments only
             # (seek was already set above; the hallucination block's seek
@@ -462,6 +446,49 @@ def _is_segment_anomaly(segment: Optional[dict]) -> bool:
 
 def _next_words_segment(segments: List[dict]) -> Optional[dict]:
     return next((s for s in segments if s.get("words")), None)
+
+
+def evict_surrounded_anomalies(
+    segments: List[dict],
+    *,
+    threshold: float,
+    time_offset: float,
+    window_end_time: float,
+    segment_duration: float,
+    last_speech_timestamp: float,
+):
+    """Drop the first anomalous segment that is surrounded by silence (or
+    by more anomalies) and everything after it.
+
+    Shared between the seek loop (which also re-seeks to the evicted
+    segment's start) and the batched pipeline (whose VAD-bounded chunks
+    have nothing to re-seek into, so eviction alone applies). Returns
+    ``(kept_segments, evicted_segment_or_None)``.
+    """
+    hal_last_end = last_speech_timestamp
+    for si, segment in enumerate(segments):
+        if not segment.get("words"):
+            continue
+        if _is_segment_anomaly(segment):
+            next_segment = _next_words_segment(segments[si + 1 :])
+            if next_segment is not None:
+                hal_next_start = next_segment["words"][0]["start"]
+            else:
+                hal_next_start = time_offset + segment_duration
+            silence_before = (
+                segment["start"] - hal_last_end > threshold
+                or segment["start"] < threshold
+                or segment["start"] - time_offset < 2.0
+            )
+            silence_after = (
+                hal_next_start - segment["end"] > threshold
+                or _is_segment_anomaly(next_segment)
+                or window_end_time - segment["end"] < 2.0
+            )
+            if silence_before and silence_after:
+                return segments[:si], segment
+        hal_last_end = segment["end"]
+    return segments, None
 
 
 def _last_word_end(segments: List[dict]) -> Optional[float]:

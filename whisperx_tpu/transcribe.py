@@ -105,6 +105,9 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
         "suppress_tokens": [int(x) for x in args.pop("suppress_tokens").split(",")],
         "suppress_numerals": args.pop("suppress_numerals"),
         "word_timestamps": word_timestamps,
+        "hallucination_silence_threshold": args.pop(
+            "hallucination_silence_threshold"
+        ),
         "draft_model": args.pop("draft_model"),
         "spec_gamma": args.pop("spec_gamma"),
     }

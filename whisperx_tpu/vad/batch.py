@@ -51,10 +51,13 @@ class BatchVADProcessor:
             probs = np.asarray(
                 speech_probs(self.vad.params, jnp.asarray(windows))
             )
-        else:  # energy-VAD fallback (per-window independent)
-            probs = np.stack(
-                [self.vad.speech_probs(row) for row in batch]
-            )
+        else:  # energy-VAD fallback (adaptive percentile stats are
+            # per-stream: score each row at its TRUE length so a short
+            # file's zero-padding can't skew its speech/noise threshold
+            probs = np.zeros((len(audios), t_max), np.float32)
+            for i, n in enumerate(lengths):
+                p = self.vad.speech_probs(batch[i, :n])
+                probs[i, : len(p)] = p
 
         results = []
         for i, n in enumerate(lengths):
