@@ -241,6 +241,22 @@ def test_streaming_chunker_flushes_on_silence(speech_5s):
     assert len(chunks[0]) == len(audio)
 
 
+def test_streaming_chunker_splits_bursty_push_at_30s(speech_5s):
+    """A whole-file burst landing in one push must come out as ≤30 s
+    pieces: an arbitrary-length chunk would hit a padding bucket no
+    warmup compiled, stalling the live stream mid-utterance."""
+    cfg = StreamingConfig(min_chunk_seconds=0.5, max_latency_seconds=60.0)
+    chunker = StreamingChunker(cfg)
+    sr = cfg.sample_rate
+    burst = np.concatenate([np.tile(speech_5s, 13), np.zeros(16000, np.float32)])
+    assert len(burst) > 2 * 30 * sr  # 65 s + trailing silence
+    chunks = chunker.push(burst)
+    assert len(chunks) == 3
+    assert all(len(c) <= 30 * sr for c in chunks)
+    assert sum(len(c) for c in chunks) == len(burst)
+    np.testing.assert_array_equal(np.concatenate(chunks), burst)
+
+
 def test_streaming_transcriber_sync(speech_5s):
     pipe = FakePipeline()
     st = StreamingTranscriber(

@@ -155,9 +155,16 @@ class StreamingChunker:
         has_speech = bool((probs >= self.config.vad_threshold).any())
 
         if (trailing_silent and has_speech) or force:
-            chunks.append(self._pending)
-            self._pending = np.zeros(0, np.float32)
+            pending, self._pending = self._pending, np.zeros(0, np.float32)
             self._last_emit = time.monotonic()
+            # A bursty feed (a client pushing a whole file at socket
+            # speed) can land tens of seconds in one push — emitted
+            # whole, that chunk's padding bucket would be an arbitrary
+            # size no warmup covered, compiling mid-stream. Split into
+            # the 30 s pieces the decode window handles natively.
+            cap = 30 * sr
+            for i in range(0, len(pending), cap):
+                chunks.append(pending[i : i + cap])
         return chunks
 
     def flush(self) -> Optional[np.ndarray]:
