@@ -236,13 +236,14 @@ class TestEvictSurroundedAnomalies:
     """The shared eviction rule (seek loop + batched per-chunk path)."""
 
     @staticmethod
-    def _run(segments, threshold=2.0, t0=0.0, t1=30.0, last_speech=0.0):
+    def _run(segments, threshold=2.0, t0=0.0, t1=30.0, last_speech=0.0,
+             keep_tail=False):
         from whisperx_tpu.decoding.transcribe import evict_surrounded_anomalies
 
         return evict_surrounded_anomalies(
             segments, threshold=threshold, time_offset=t0,
             window_end_time=t1, segment_duration=t1 - t0,
-            last_speech_timestamp=last_speech,
+            last_speech_timestamp=last_speech, keep_tail=keep_tail,
         )
 
     @staticmethod
@@ -278,6 +279,33 @@ class TestEvictSurroundedAnomalies:
         # silence_after requires >threshold gap / anomaly / window tail <2 s
         # — none hold, so the segment survives
         assert evicted is None and len(kept) == 3
+
+    def test_keep_tail_evicts_anomaly_but_keeps_tail(self):
+        """Batched path (keep_tail=True): the surrounded anomaly goes, the
+        already-decoded tail stays — a VAD-bounded chunk has nothing to
+        re-seek into, so dropping the tail would lose good speech."""
+        segs = [
+            self._seg(0.0, 2.0),
+            self._seg(10.0, 12.0, good=False),  # 8 s silence both sides
+            self._seg(25.0, 27.0),
+        ]
+        kept, evicted = self._run(segs, keep_tail=True)
+        assert [s["start"] for s in kept] == [0.0, 25.0]
+        assert evicted["start"] == 10.0
+
+    def test_keep_tail_silence_baseline_skips_evicted(self):
+        """An evicted hallucination is not speech: the silence baseline for
+        the next candidate must not advance past it. bad2 starts 1 s after
+        bad1 ends — only silent-before if bad1's end is ignored."""
+        segs = [
+            self._seg(0.0, 2.0),
+            self._seg(15.0, 19.0, good=False),
+            self._seg(20.0, 22.0, good=False),
+            self._seg(27.0, 29.0),
+        ]
+        kept, evicted = self._run(segs, keep_tail=True)
+        assert [s["start"] for s in kept] == [0.0, 27.0]
+        assert evicted["start"] == 15.0
 
     def test_wordless_segments_ignored(self):
         segs = [{"start": 0.0, "end": 1.0, "text": "x", "words": []}]

@@ -892,7 +892,9 @@ def test_streaming_online_diarization_consistent_labels():
     voice share a label; a spectrally distant voice gets a new one. Uses
     the weightless spectral embedding + energy VAD (hermetic)."""
     sr = 16000
-    t = np.arange(3 * sr) / sr
+    # 1 s per voice: with max_latency=0 the burst splitter caps chunks at
+    # the 1 s warmup bucket, so a 1 s push emits as exactly one chunk-final
+    t = np.arange(1 * sr) / sr
     low = (
         0.4 * np.sin(2 * np.pi * 180 * t)
         * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))

@@ -846,6 +846,7 @@ class TranscriptionPipeline:
                         window_end_time=ch["end"],
                         segment_duration=ch["end"] - ch["start"],
                         last_speech_timestamp=ch["start"],
+                        keep_tail=True,
                     )
                     chunk_segs[idx] = kept
         elif o.get("hallucination_silence_threshold") is not None:

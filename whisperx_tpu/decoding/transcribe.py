@@ -158,6 +158,14 @@ def transcribe(
     task: str = "transcribe",
     **decode_options,
 ) -> dict:
+    if hallucination_silence_threshold is not None and not word_timestamps:
+        import warnings
+
+        warnings.warn(
+            "hallucination_silence_threshold requires word_timestamps=True;"
+            " ignoring it."
+        )
+
     if isinstance(audio, str):
         from whisperx_tpu.audio import load_audio
 
@@ -456,16 +464,23 @@ def evict_surrounded_anomalies(
     window_end_time: float,
     segment_duration: float,
     last_speech_timestamp: float,
+    keep_tail: bool = False,
 ):
-    """Drop the first anomalous segment that is surrounded by silence (or
-    by more anomalies) and everything after it.
+    """Drop anomalous segments that are surrounded by silence (or by more
+    anomalies).
 
-    Shared between the seek loop (which also re-seeks to the evicted
-    segment's start) and the batched pipeline (whose VAD-bounded chunks
-    have nothing to re-seek into, so eviction alone applies). Returns
-    ``(kept_segments, evicted_segment_or_None)``.
+    Shared between the seek loop and the batched pipeline, whose recovery
+    abilities differ: the seek loop re-seeks to the evicted segment's
+    start and re-decodes everything after it, so the tail is dropped here
+    (``keep_tail=False``, upstream semantics); the batched pipeline's
+    VAD-bounded chunks have nothing to re-seek into, so it must keep the
+    already-decoded tail (``keep_tail=True``) and only the surrounded
+    anomalies themselves are removed — the scan continues past each one.
+    Returns ``(kept_segments, first_evicted_segment_or_None)``.
     """
     hal_last_end = last_speech_timestamp
+    drop: set = set()
+    first_evicted = None
     for si, segment in enumerate(segments):
         if not segment.get("words"):
             continue
@@ -486,8 +501,17 @@ def evict_surrounded_anomalies(
                 or window_end_time - segment["end"] < 2.0
             )
             if silence_before and silence_after:
-                return segments[:si], segment
+                if not keep_tail:
+                    return segments[:si], segment
+                drop.add(si)
+                if first_evicted is None:
+                    first_evicted = segment
+                # an evicted hallucination is not speech: the silence
+                # baseline for the NEXT candidate must not advance past it
+                continue
         hal_last_end = segment["end"]
+    if drop:
+        return [s for i, s in enumerate(segments) if i not in drop], first_evicted
     return segments, None
 
 

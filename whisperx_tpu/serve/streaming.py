@@ -161,10 +161,23 @@ class StreamingChunker:
             # speed) can land tens of seconds in one push — emitted
             # whole, that chunk's padding bucket would be an arbitrary
             # size no warmup covered, compiling mid-stream. Split into
-            # the 30 s pieces the decode window handles natively.
-            cap = 30 * sr
-            for i in range(0, len(pending), cap):
-                chunks.append(pending[i : i + cap])
+            # pieces no larger than the biggest bucket warmup_streaming
+            # compiles (ceil(max_latency)+1 s — the size real-time
+            # pacing emits anyway, capped by the 30 s decode window),
+            # and place each cut at the least-speechy VAD window near
+            # the cap so a word is not torn across two decodes.
+            cap = min(30, int(np.ceil(self.config.max_latency_seconds)) + 1) * sr
+            start = 0
+            while len(pending) - start > cap:
+                wlo = -(-(start + int(0.6 * cap)) // 512)
+                whi = min((start + cap) // 512, len(probs))
+                if whi > wlo:
+                    cut = (int(np.argmin(probs[wlo:whi])) + wlo) * 512
+                else:
+                    cut = start + cap
+                chunks.append(pending[start:cut])
+                start = cut
+            chunks.append(pending[start:])
         return chunks
 
     def flush(self) -> Optional[np.ndarray]:
