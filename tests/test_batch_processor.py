@@ -98,3 +98,20 @@ def test_batch_vad_padding_does_not_skew_short_streams(speech_5s):
     ]
     for s in batched:  # never report speech inside the padded tail
         assert s.end <= 1.0 + 0.1
+
+
+def test_batch_vad_zero_length_stream(speech_5s):
+    """An empty stream batched with real ones yields no segments instead of
+    crashing the whole batch (regression: percentile over a zero-size
+    energy array raised IndexError)."""
+    proc = BatchVADProcessor()
+    results = proc.process_batch([speech_5s, np.zeros(0, np.float32)])
+    assert len(results) == 2
+    assert results[1] == []
+    assert len(results[0]) >= 1  # the real stream still segments
+
+
+def test_batch_vad_all_empty():
+    proc = BatchVADProcessor()
+    results = proc.process_batch([np.zeros(0, np.float32)] * 2)
+    assert results == [[], []]

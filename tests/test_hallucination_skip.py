@@ -336,3 +336,29 @@ def test_batched_pipeline_warns_without_word_timestamps(nano_model):
     )
     with pytest.warns(UserWarning, match="word_timestamps"):
         pipe.transcribe(synth_speech(4.0, seed=3), batch_size=2)
+
+
+def test_sequential_backend_forwards_threshold(monkeypatch):
+    """SequentialJAXBackend must pass hallucination_silence_threshold from
+    asr_options to the seek loop (regression: it was silently dropped)."""
+    import whisperx_tpu.decoding.transcribe as tr_mod
+    from whisperx_tpu.backends import SequentialJAXBackend
+
+    seen = {}
+
+    def fake_transcribe(model, audio, **kwargs):
+        seen.update(kwargs)
+        return {"segments": [], "language": "en"}
+
+    monkeypatch.setattr(tr_mod, "transcribe", fake_transcribe)
+    backend = SequentialJAXBackend(
+        "test-nano",
+        asr_options={
+            "hallucination_silence_threshold": 2.0,
+            "word_timestamps": True,
+        },
+        language="en",
+    )
+    backend.transcribe(np.zeros(16000, np.float32))
+    assert seen.get("hallucination_silence_threshold") == 2.0
+    assert seen.get("word_timestamps") is True

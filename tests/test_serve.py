@@ -920,3 +920,21 @@ def test_streaming_online_diarization_consistent_labels():
     assert spk[0] is not None and spk[1] is not None
     assert spk[0] == spk[2], f"same voice must keep its label: {spk}"
     assert spk[0] != spk[1], f"distinct voice must get a new label: {spk}"
+
+
+def test_streaming_chunker_burst_tail_not_below_minimum(speech_5s):
+    """The burst splitter must never emit a final remainder shorter than
+    min_chunk_seconds (regression: a 30 s + 200-sample push produced a
+    ~12 ms micro-chunk that decoded in an unwarmed padding bucket)."""
+    cfg = StreamingConfig(min_chunk_seconds=0.5, max_latency_seconds=60.0)
+    chunker = StreamingChunker(cfg)
+    sr = cfg.sample_rate
+    burst = np.concatenate(
+        [np.tile(speech_5s, 6), speech_5s[:200]]
+    )  # 30 s + 200 samples
+    chunks = chunker.push(burst)
+    assert chunks, "forced flush must emit"
+    min_samples = int(cfg.min_chunk_seconds * sr)
+    assert all(len(c) >= min_samples for c in chunks)
+    assert all(len(c) <= 30 * sr for c in chunks)
+    np.testing.assert_array_equal(np.concatenate(chunks), burst)

@@ -529,16 +529,32 @@ class TranscriptionPipeline:
                 end_rel = min(seg["end"], win)
                 if end_rel <= seg["start"]:
                     continue
-                segments.append(
-                    {
-                        "start": round(seg["start"] + ch["start"], 3),
-                        "end": round(end_rel + ch["start"], 3),
-                        "text": seg["text"],
-                        **(
-                            {"words": seg["words"]} if "words" in seg else {}
-                        ),
-                    }
-                )
+                entry = {
+                    "start": round(seg["start"] + ch["start"], 3),
+                    "end": round(end_rel + ch["start"], 3),
+                    "text": seg["text"],
+                }
+                if "words" in seg:
+                    # words come back chunk-relative from seq_transcribe;
+                    # shift to absolute so they agree with the segment times
+                    # (the batched path does this via seg['seek'] in timing/)
+                    entry["words"] = [
+                        {
+                            **w,
+                            **(
+                                {
+                                    "start": round(w["start"] + ch["start"], 3),
+                                    "end": round(
+                                        min(w["end"], win) + ch["start"], 3
+                                    ),
+                                }
+                                if "start" in w and "end" in w
+                                else {}
+                            ),
+                        }
+                        for w in seg["words"]
+                    ]
+                segments.append(entry)
         return segments
 
     # ------------------------------------------------------------------

@@ -175,6 +175,9 @@ class SequentialJAXBackend(_JAXBackendBase):
             condition_on_previous_text=o.get("condition_on_previous_text", True),
             initial_prompt=o.get("initial_prompt"),
             word_timestamps=o.get("word_timestamps", False),
+            hallucination_silence_threshold=o.get(
+                "hallucination_silence_threshold"
+            ),
         )
         return {
             "segments": [

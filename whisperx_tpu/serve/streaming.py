@@ -168,13 +168,21 @@ class StreamingChunker:
             # the cap so a word is not torn across two decodes.
             cap = min(30, int(np.ceil(self.config.max_latency_seconds)) + 1) * sr
             start = 0
-            while len(pending) - start > cap:
-                wlo = -(-(start + int(0.6 * cap)) // 512)
-                whi = min((start + cap) // 512, len(probs))
+            # second loop guard: never leave a tail shorter than the
+            # chunker's own minimum (a few-ms remainder would become its
+            # own micro-decode in an unwarmed padding bucket)
+            while (
+                len(pending) - start > cap
+                and len(pending) - start >= 2 * min_samples
+            ):
+                hi = min(start + cap, len(pending) - min_samples)
+                lo = start + max(min_samples, int(0.6 * cap))
+                wlo = -(-lo // 512)
+                whi = min(hi // 512, len(probs))
                 if whi > wlo:
                     cut = (int(np.argmin(probs[wlo:whi])) + wlo) * 512
                 else:
-                    cut = start + cap
+                    cut = max(start + min_samples, len(pending) - cap)
                 chunks.append(pending[start:cut])
                 start = cut
             chunks.append(pending[start:])

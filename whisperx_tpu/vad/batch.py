@@ -40,7 +40,9 @@ class BatchVADProcessor:
         from whisperx_tpu.models.silero_vad.model import speech_probs
 
         lengths = [len(a) for a in audios]
-        t_max = -(-max(lengths) // WINDOW_SIZE_SAMPLES)
+        # t_max >= 1 so an all-empty batch still yields valid (B, 1) shapes;
+        # zero-length rows short-circuit to "no speech" below.
+        t_max = max(1, -(-max(lengths) // WINDOW_SIZE_SAMPLES))
         batch = np.zeros(
             (len(audios), t_max * WINDOW_SIZE_SAMPLES), np.float32
         )
@@ -56,6 +58,8 @@ class BatchVADProcessor:
             # file's zero-padding can't skew its speech/noise threshold
             probs = np.zeros((len(audios), t_max), np.float32)
             for i, n in enumerate(lengths):
+                if n == 0:  # empty stream: no speech, and the percentile
+                    continue  # stats below need at least one window
                 p = self.vad.speech_probs(batch[i, :n])
                 probs[i, : len(p)] = p
 
