@@ -537,15 +537,20 @@ class TranscriptionPipeline:
                 if "words" in seg:
                     # words come back chunk-relative from seq_transcribe;
                     # shift to absolute so they agree with the segment times
-                    # (the batched path does this via seg['seek'] in timing/)
+                    # (the batched path does this via seg['seek'] in timing/).
+                    # Words at/past the clamped segment extent are dropped
+                    # (a word starting at >= end_rel would invert once its
+                    # end is clamped), mirroring the segment-level clamp.
                     entry["words"] = [
                         {
                             **w,
                             **(
                                 {
-                                    "start": round(w["start"] + ch["start"], 3),
+                                    "start": round(
+                                        min(w["start"], end_rel) + ch["start"], 3
+                                    ),
                                     "end": round(
-                                        min(w["end"], win) + ch["start"], 3
+                                        min(w["end"], end_rel) + ch["start"], 3
                                     ),
                                 }
                                 if "start" in w and "end" in w
@@ -553,6 +558,11 @@ class TranscriptionPipeline:
                             ),
                         }
                         for w in seg["words"]
+                        if not (
+                            "start" in w
+                            and "end" in w
+                            and w["start"] >= end_rel
+                        )
                     ]
                 segments.append(entry)
         return segments

@@ -182,7 +182,14 @@ class StreamingChunker:
                 if whi > wlo:
                     cut = (int(np.argmin(probs[wlo:whi])) + wlo) * 512
                 else:
-                    cut = max(start + min_samples, len(pending) - cap)
+                    # fallback when the VAD search window is empty: keep the
+                    # chunk itself <= cap (an oversized chunk would land in an
+                    # unwarmed padding bucket — the very thing the splitter
+                    # exists to prevent) while leaving a >= min_samples tail
+                    cut = max(
+                        start + min_samples,
+                        min(start + cap, len(pending) - min_samples),
+                    )
                 chunks.append(pending[start:cut])
                 start = cut
             chunks.append(pending[start:])
