@@ -217,6 +217,107 @@ def _spec_curve(base, keep: int, gamma: int, sample_len: int):
         )
 
 
+def _probe_inline() -> dict:
+    """Tunnel-health stats embedded in the bench record (same measurements
+    as tools/tunnel_probe.py): the artifact must carry the evidence of the
+    transport conditions it was taken under."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    x = jnp.ones((8, 8), jnp.float32)
+    np.asarray(x[:1, :1])
+    t_round = time.time() - t0
+    mb = 16
+    host = np.random.default_rng(0).standard_normal(mb * 262144).astype(
+        np.float32
+    )
+    t0 = time.time()
+    dev = jax.device_put(host)
+    np.asarray(dev[:1])
+    up_mbps = mb / (time.time() - t0)
+    lats = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(x[:1, :1])
+        lats.append(time.time() - t0)
+    return {
+        "roundtrip_s": round(t_round, 2),
+        "upload_mbps": round(up_mbps, 1),
+        "sync_ms": round(sorted(lats)[len(lats) // 2] * 1000, 1),
+        "backend": jax.default_backend(),
+    }
+
+
+_HISTORY_PATH = os.path.expanduser("~/.cache/whisperx_tpu/bench_history.jsonl")
+
+
+def _history_watermark(metric_key: str) -> tuple:
+    """Quiet-window watermark DERIVED from recorded history, not a
+    hardcoded constant (a constant tied to one day's reading silently
+    misleads the adaptive loop once the code gets faster or slower).
+
+    Sources, best wins: WHISPERX_TPU_BENCH_WATERMARK_RTF (explicit
+    override), past runs of this exact metric in the local history file,
+    and the repo's official BENCH_r*.json records whose metric matches.
+    Returns (watermark_or_None, source_str).
+    """
+    env = os.environ.get("WHISPERX_TPU_BENCH_WATERMARK_RTF")
+    if env:
+        return float(env), "env"
+    candidates = []
+    try:
+        with open(_HISTORY_PATH) as f:
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("key") == metric_key and "rtf" in e:
+                    candidates.append(float(e["rtf"]))
+    except OSError:
+        pass
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                e = json.load(f)
+            # the driver wraps the bench line under "parsed"
+            e = e.get("parsed", e) if isinstance(e, dict) else {}
+            if (
+                isinstance(e, dict)
+                and e.get("unit") == "x realtime"
+                and metric_key.split(" RTF")[0] in str(e.get("metric", ""))
+            ):
+                candidates.append(float(e["value"]))
+        except (OSError, ValueError, TypeError):
+            continue
+    if not candidates:
+        return None, "none"
+    return max(candidates), f"history({len(candidates)} records)"
+
+
+def _append_history(metric_key: str, rtf: float, probe: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(_HISTORY_PATH), exist_ok=True)
+        with open(_HISTORY_PATH, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "key": metric_key,
+                        "rtf": round(rtf, 2),
+                        "t": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                        "probe": probe,
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        pass
+
+
 def main():
     import jax
 
@@ -287,13 +388,20 @@ def main():
 
     audio = synth_speech(duration_s)
 
+    probe_before = _probe_inline()
+
     # warmup: compile every program (mel, encoder, prefill, decode loop)
     warm = audio[: 16000 * 60]
     pipeline.transcribe(warm, batch_size=batch_size)
 
+    tag = "" if compute_type == "bfloat16" else f" {compute_type}"
+    metric_key = (
+        f"{model_name}{tag} batch={batch_size} RTF (30-min audio, {config_tag})"
+    )
+
     # Adaptive best-of-N guards against transient device/tunnel
     # contention: the tunnel drifts up to ~1.7x across minutes, and
-    # CHIP-side contention has swung identical code 113x -> 163x within
+    # CHIP-side contention has swung identical code 113x -> 176x within
     # an hour (stage dumps put the swing entirely in device decode
     # time). Minimum `repeats` passes always run; then, while the best
     # keeps improving >3% (a contended window fading), keep sampling up
@@ -301,43 +409,149 @@ def main():
     repeats = int(os.environ.get("WHISPERX_TPU_BENCH_REPEATS", 5))
     max_repeats = int(os.environ.get("WHISPERX_TPU_BENCH_MAX_REPEATS", 20))
     budget_s = float(os.environ.get("WHISPERX_TPU_BENCH_BUDGET_S", 600))
-    # Quiet-window watermark (2026-08-19: three consistent 176.3x
-    # readings, probe healthy). A best far below it means the chip is
-    # co-tenant-contended RIGHT NOW, not that the code got slower —
-    # contention fades on minute scales, so keep sampling to the budget
-    # instead of stopping on a flat trend.
-    watermark = float(os.environ.get("WHISPERX_TPU_BENCH_WATERMARK_RTF", 176.0))
+    # Quiet-window watermark derived from recorded history (env override >
+    # local history > repo BENCH_r*.json). A best far below it means the
+    # chip is co-tenant-contended RIGHT NOW, not that the code got
+    # slower — contention fades on minute scales, so keep sampling to the
+    # budget instead of stopping on a flat trend.
+    watermark, wm_source = _history_watermark(metric_key)
+    from whisperx_tpu.utils.metrics import GLOBAL_TRACKER
+
+    times = []
+    best_stages = None
     elapsed = float("inf")
     bench_t0 = time.monotonic()
-    i = since_best = 0
-    while i < repeats or (
-        i < max_repeats
+    since_best = 0
+    while len(times) < repeats or (
+        len(times) < max_repeats
         and time.monotonic() - bench_t0 < budget_s
-        and (since_best < 2 or duration_s / elapsed < 0.85 * watermark)
+        and (
+            since_best < 2
+            or (
+                watermark is not None
+                and duration_s / elapsed < 0.85 * watermark
+            )
+        )
     ):
+        GLOBAL_TRACKER.reset()
         t0 = time.perf_counter()
         result = pipeline.transcribe(audio, batch_size=batch_size)
         dt = time.perf_counter() - t0
         since_best = 0 if dt < elapsed * 0.97 else since_best + 1
+        if dt < elapsed:
+            best_stages = {
+                name: s["total_s"]
+                for name, s in GLOBAL_TRACKER.report().items()
+            }
         elapsed = min(elapsed, dt)
-        i += 1
+        times.append(dt)
 
     if os.environ.get("WHISPERX_TPU_BENCH_STAGES"):
-        from whisperx_tpu.utils.metrics import GLOBAL_TRACKER
         import sys
 
         print(GLOBAL_TRACKER.dump(), file=sys.stderr)
 
     rtf = duration_s / elapsed
     baseline = 5.7  # reference large-v3 fp16 batch 8 (README.md:41)
-    tag = "" if compute_type == "bfloat16" else f" {compute_type}"
+    probe_after = _probe_inline()
+    _append_history(metric_key, rtf, probe_after)
+    times_sorted = sorted(times)
+    median = times_sorted[len(times_sorted) // 2]
+    # One JSON line. The extra keys make the artifact SELF-CERTIFYING:
+    # tunnel health before/after, per-stage seconds of the best pass,
+    # the full repeat spread, and the watermark the adaptive loop used —
+    # a low number must carry its own contention evidence.
     print(
         json.dumps(
             {
-                "metric": f"{model_name}{tag} batch={batch_size} RTF (30-min audio, {config_tag})",
+                "metric": metric_key,
                 "value": round(rtf, 2),
                 "unit": "x realtime",
                 "vs_baseline": round(rtf / baseline, 2),
+                "probe_before": probe_before,
+                "probe_after": probe_after,
+                "stages_best_s": best_stages,
+                "repeats": len(times),
+                "best_s": round(elapsed, 2),
+                "median_s": round(median, 2),
+                "median_rtf": round(duration_s / median, 2),
+                "watermark_rtf": watermark,
+                "watermark_source": wm_source,
+            }
+        )
+    )
+
+
+def eot_main():
+    """EOT-driven decode benchmark (WHISPERX_TPU_BENCH_EOT=1).
+
+    The micro-learned checkpoint (whisperx_tpu/train/micro.py) drives the
+    pipeline, so decode length is set by the model emitting EOT per row —
+    the production while_loop's all-rows-finished early exit measured on
+    real hardware, not capped by sample_len (the large-v3 headline must
+    cap: random weights never stop). RTF here is NOT comparable to the
+    headline (nano dims); the point is natural stopping + exact-transcript
+    verification on chip. Reference bar:
+    mlx_whisper_batch_decoder.py:357-358."""
+    import jax
+
+    try:
+        cache_dir = os.path.expanduser("~/.cache/whisperx_tpu/xla_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import warnings
+
+    warnings.filterwarnings("ignore")
+
+    from whisperx_tpu.train.micro import DEFAULT_CHUNK_SIZE, build_files
+
+    ckpt = os.environ.get("WHISPERX_TPU_MICRO_CKPT")
+    if not (ckpt and os.path.exists(os.path.join(ckpt, "weights.npz"))):
+        from whisperx_tpu.train import micro_checkpoint_cached
+
+        ckpt, _ = micro_checkpoint_cached()
+
+    from whisperx_tpu.asr import load_model
+
+    pipe = load_model(
+        ckpt, language="en", vad_method="energy", batch_size=8
+    )
+    files = build_files()
+    pipe.transcribe(
+        files[0][0], batch_size=8, chunk_size=DEFAULT_CHUNK_SIZE
+    )  # warmup
+
+    repeats = int(os.environ.get("WHISPERX_TPU_BENCH_REPEATS", 3))
+    total_audio = sum(len(a) / 16000 for a, _ in files)
+    best = float("inf")
+    exact = True
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        hyps = [
+            pipe.transcribe(a, batch_size=8, chunk_size=DEFAULT_CHUNK_SIZE)
+            for a, _ in files
+        ]
+        best = min(best, time.perf_counter() - t0)
+        exact = all(
+            " ".join(s["text"].strip() for s in h["segments"])
+            == " ".join(t.strip() for _, t in ev)
+            for h, (_, ev) in zip(hyps, files)
+        )
+    rtf = total_audio / best
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "micro-learned EOT-driven pipeline RTF "
+                    f"({len(files)} files, exact_transcripts={exact})"
+                ),
+                "value": round(rtf, 2),
+                "unit": "x realtime",
+                "vs_baseline": round(rtf / 5.7, 2),
+                "exact": exact,
             }
         )
     )
@@ -346,5 +560,7 @@ def main():
 if __name__ == "__main__":
     if os.environ.get("WHISPERX_TPU_BENCH_SPEC"):
         spec_main()
+    elif os.environ.get("WHISPERX_TPU_BENCH_EOT"):
+        eot_main()
     else:
         main()

@@ -50,6 +50,18 @@ def main(argv=None):
         help="HF snapshot dir or OpenAI .pt to convert into --checkpoint first",
     )
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument(
+        "--chunk_size",
+        type=int,
+        default=30,
+        help="decode window seconds (matches the pipeline's chunk_size)",
+    )
+    ap.add_argument("--language", default=None)
+    ap.add_argument(
+        "--vad_method",
+        default="silero",
+        help="VAD backbone (energy = hermetic, no checkpoint)",
+    )
     ap.add_argument("--align", action="store_true")
     ap.add_argument(
         "--platform",
@@ -85,8 +97,15 @@ def main(argv=None):
     duration = len(audio) / 16000
 
     t0 = time.perf_counter()
-    pipeline = whisperx_tpu.load_model(model_ref, batch_size=args.batch)
-    result = pipeline.transcribe(audio, batch_size=args.batch)
+    pipeline = whisperx_tpu.load_model(
+        model_ref,
+        batch_size=args.batch,
+        language=args.language,
+        vad_method=args.vad_method,
+    )
+    result = pipeline.transcribe(
+        audio, batch_size=args.batch, chunk_size=args.chunk_size
+    )
     elapsed = time.perf_counter() - t0
 
     hyp = " ".join(s["text"].strip() for s in result["segments"])

@@ -222,7 +222,102 @@ class GoldVocabSolver:
                 break
         return self.known
 
+    # -- trial refinement --------------------------------------------------
+
+    def _consistent_under(self, token: int, value: bytes, sweeps: int = 6) -> bool:
+        """Does assigning ``token := value`` admit a contradiction-free
+        propagation? (joint consistency probe for refine_by_trial)"""
+        clone = GoldVocabSolver.__new__(GoldVocabSolver)
+        clone.eqs = self.eqs
+        clone.known = dict(self.known)
+        clone.cand = {t: set(v) for t, v in self.cand.items()}
+        clone.known[token] = value
+        clone.cand.pop(token, None)
+        try:
+            clone.solve(max_sweeps=sweeps)
+        except ValueError:
+            return False
+        return True
+
+    def refine_by_trial(self, max_branch: int = 12, rounds: int = 4) -> int:
+        """Branch-and-prune: for each still-ambiguous token, TRY each
+        surviving candidate and drop the ones whose assignment contradicts
+        some equation under propagation. Candidates that survive every
+        per-equation intersection can still be jointly inconsistent with
+        other tokens' constraints — this pass is what separates
+        'insufficient equations' from genuine ambiguity, and resolves any
+        token left with a single jointly-consistent value.
+
+        Returns the number of newly-resolved tokens."""
+        resolved = 0
+        for _ in range(rounds):
+            changed = False
+            for t in sorted(self.cand):
+                if t in self.known:
+                    continue
+                vals = self.cand[t]
+                if len(vals) > max_branch:
+                    continue
+                keep = {v for v in sorted(vals) if self._consistent_under(t, v)}
+                if not keep:
+                    # every candidate fails joint propagation — leave the
+                    # per-equation set rather than corrupting state
+                    continue
+                if keep != vals:
+                    self.cand[t] = keep
+                    changed = True
+                if len(keep) == 1:
+                    self.known[t] = next(iter(keep))
+                    resolved += 1
+                    self.solve(max_sweeps=4)  # propagate the new fact
+            if not changed:
+                break
+        return resolved
+
     # -- reporting ---------------------------------------------------------
+
+    def maximality_report(self) -> dict:
+        """Per-undecoded-segment accounting of WHY it stays undecoded.
+
+        Every unresolved token is classified:
+          - ``ambiguous``: >= 2 byte values each jointly consistent with
+            ALL equations under propagation — the gold equations cannot
+            distinguish them, so no solver can pin the token (the
+            information-theoretic ceiling for this artifact);
+          - ``unpruned``: candidate set too large for the joint-consistency
+            probe (bounded only by per-equation constraints).
+        """
+        segments = []
+        amb_tokens: Dict[int, int] = {}
+        for toks, data in self.eqs:
+            missing = sorted({t for t in toks if t not in self.known})
+            if not missing:
+                continue
+            entry = {"text": data.decode("utf-8", "replace"), "unresolved": []}
+            for t in missing:
+                vals = sorted(self.cand.get(t, set()))
+                kind = "ambiguous" if len(vals) >= 2 else "unpruned"
+                amb_tokens[t] = len(vals)
+                entry["unresolved"].append(
+                    {
+                        "token": t,
+                        "n_candidates": len(vals),
+                        "kind": kind,
+                        "candidates": [
+                            v.decode("latin-1") for v in vals[:6]
+                        ],
+                    }
+                )
+            segments.append(entry)
+        return {
+            "undecoded_segments": len(segments),
+            "unresolved_tokens": len(amb_tokens),
+            "candidate_histogram": {
+                str(n): sum(1 for c in amb_tokens.values() if c == n)
+                for n in sorted(set(amb_tokens.values()))
+            },
+            "segments": segments,
+        }
 
     def report(self) -> dict:
         uniq = {t for toks, _ in self.eqs for t in toks}
@@ -255,12 +350,32 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("gold_json", help="gold transcription json (segments with tokens+text)")
     ap.add_argument("-o", "--output", required=True, help="output vocab json")
+    ap.add_argument(
+        "--refine",
+        action="store_true",
+        help="branch-and-prune joint-consistency pass (slower; resolves "
+        "tokens whose per-equation candidates are jointly inconsistent)",
+    )
+    ap.add_argument(
+        "--maximality",
+        default=None,
+        metavar="OUT_JSON",
+        help="write the per-undecoded-segment ambiguity accounting "
+        "(which tokens stay unresolved and why)",
+    )
     args = ap.parse_args(argv)
 
     solver = GoldVocabSolver(equations_from_gold(args.gold_json))
     known = solver.solve()
+    if args.refine:
+        n = solver.refine_by_trial()
+        print(f"trial refinement resolved {n} additional tokens", file=sys.stderr)
     rep = solver.report()
     print(json.dumps(rep, indent=2))
+    if args.maximality:
+        with open(args.maximality, "w") as f:
+            json.dump(solver.maximality_report(), f, indent=1)
+        print(f"maximality report -> {args.maximality}", file=sys.stderr)
 
     # latin-1 round-trips arbitrary bytes through JSON strings
     out = {str(t): v.decode("latin-1") for t, v in sorted(known.items())}

@@ -11,6 +11,7 @@ from whisperx_tpu.parallel.sharding import (
     shard,
     use_mesh,
     shard_params_tp,
+    walk_params_tp,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "shard",
     "use_mesh",
     "shard_params_tp",
+    "walk_params_tp",
 ]

@@ -29,17 +29,21 @@ def initialize_multihost(
 
     No-op (0, 1) when already initialized or when running single-process.
     """
-    try:
-        if jax.process_count() > 1:
-            return jax.process_index(), jax.process_count()
-    except RuntimeError:
-        pass
+    # Do NOT probe jax.process_count() first: it INITIALIZES the XLA
+    # backend, after which jax.distributed.initialize refuses to run at
+    # all ("must be called before any JAX calls") — found the first time
+    # this ran with two real processes. Attempt initialize directly and
+    # treat double-initialization as the already-joined case.
     if coordinator_address is not None:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
     else:
         try:
             # TPU pod env: coordinator discovered from the TPU metadata

@@ -103,6 +103,32 @@ def _tp_spec_for(path: str, leaf) -> P:
     return P()
 
 
+def walk_params_tp(params, mesh: Mesh, leaf_fn, quant_fn):
+    """Walk a param pytree applying the TP placement policy per leaf.
+
+    ``leaf_fn(leaf, NamedSharding)`` handles arrays; ``quant_fn(ql, rep)``
+    handles ``QuantizedLinear`` bundles (given the replicated sharding).
+    Shared by the real placement (:func:`shard_params_tp`) and the
+    AOT-lowering tests, which build abstract ``ShapeDtypeStruct`` trees at
+    production dims without materializing gigabytes of weights.
+    """
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            t = [walk(v, f"{path}/{i}") for i, v in enumerate(tree)]
+            return type(tree)(t)
+        from whisperx_tpu.quant.core import QuantizedLinear
+
+        if isinstance(tree, QuantizedLinear):
+            return quant_fn(tree, NamedSharding(mesh, P()))
+        spec = _tp_spec_for(path, tree)
+        return leaf_fn(tree, NamedSharding(mesh, spec))
+
+    return walk(params, "")
+
+
 def shard_params_tp(params, mesh: Mesh):
     """Place a param pytree on ``mesh`` with TP sharding over MODEL_AXIS.
 
@@ -114,23 +140,15 @@ def shard_params_tp(params, mesh: Mesh):
     quantized model runs on the mesh with data parallelism intact (TP
     then saves no weight HBM on those layers; int8's purpose is capacity,
     docs/PERFORMANCE.md)."""
+    from whisperx_tpu.quant.core import QuantizedLinear
 
-    def walk(tree, path):
-        if isinstance(tree, dict):
-            return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
-        if isinstance(tree, (list, tuple)):
-            t = [walk(v, f"{path}/{i}") for i, v in enumerate(tree)]
-            return type(tree)(t)
-        from whisperx_tpu.quant.core import QuantizedLinear
+    def quant_fn(tree, rep):
+        put = lambda x: None if x is None else jax.device_put(x, rep)
+        return QuantizedLinear(
+            put(tree.qw), put(tree.scale), put(tree.b),
+            bits=tree.bits, group_size=tree.group_size,
+        )
 
-        if isinstance(tree, QuantizedLinear):
-            rep = NamedSharding(mesh, P())
-            put = lambda x: None if x is None else jax.device_put(x, rep)
-            return QuantizedLinear(
-                put(tree.qw), put(tree.scale), put(tree.b),
-                bits=tree.bits, group_size=tree.group_size,
-            )
-        spec = _tp_spec_for(path, tree)
-        return jax.device_put(tree, NamedSharding(mesh, spec))
-
-    return walk(params, "")
+    return walk_params_tp(
+        params, mesh, lambda leaf, s: jax.device_put(leaf, s), quant_fn
+    )

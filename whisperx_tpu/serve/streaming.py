@@ -306,6 +306,11 @@ class IncrementalUtteranceDecoder:
             "stable_text": tok.decode(self.stable).strip(),
             "tokens": full,
             "stable_tokens": list(self.stable),
+            # decode-shape diagnostics (latency ~ 8 ms/token generated):
+            # surfaced into the result entries so tail latencies in
+            # latency_stats() carry their own explanation
+            "replayed": len(replay),
+            "generated": len(result.tokens),
         }
 
 
@@ -433,6 +438,27 @@ class StreamingTranscriber:
             out["median_s"] = round(float(np.median(lats)), 3)
             out["p90_s"] = round(float(np.percentile(lats, 90)), 3)
             out["max_s"] = round(float(np.max(lats)), 3)
+            # the tail must explain itself: the slowest result's shape
+            # diagnostics (what kind it was, how much audio, how many
+            # tokens replayed/generated, which padding bucket)
+            worst = max(
+                (r for r in self.results if "latency_s" in r),
+                key=lambda r: r["latency_s"],
+            )
+            out["max_detail"] = {
+                k: worst[k]
+                for k in (
+                    "latency_s",
+                    "provisional",
+                    "final",
+                    "audio_s",
+                    "bucket_s",
+                    "prompted",
+                    "replayed",
+                    "generated",
+                )
+                if k in worst
+            }
         if partials:
             out["partial_mean_s"] = round(float(np.mean(partials)), 3)
             out["partial_median_s"] = round(float(np.median(partials)), 3)
@@ -525,6 +551,9 @@ class StreamingTranscriber:
             "final": False,
             "provisional": True,
             "segments": [],
+            "audio_s": round(len(pending) / self.config.sample_rate, 2),
+            "replayed": info.get("replayed", 0),
+            "generated": info.get("generated", 0),
         }
         if t_fed is not None:
             entry["latency_s"] = round(time.monotonic() - t_fed, 4)
@@ -678,6 +707,9 @@ class StreamingTranscriber:
             "final": final,
             "provisional": False,
             "segments": segments,
+            "audio_s": round(true_extent, 2),
+            "bucket_s": bucket // sr,
+            "prompted": "initial_prompt" in kwargs,
         }
         if t_fed is not None:
             entry["latency_s"] = round(time.monotonic() - t_fed, 4)

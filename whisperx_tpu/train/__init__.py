@@ -1,0 +1,21 @@
+"""Training utilities (micro-overfit proofs; the reference ships none)."""
+
+from whisperx_tpu.train.micro import (
+    PHRASES,
+    build_corpus,
+    micro_checkpoint_cached,
+    render_phrase,
+    save_micro_checkpoint,
+    target_tokens,
+    train_micro,
+)
+
+__all__ = [
+    "PHRASES",
+    "build_corpus",
+    "micro_checkpoint_cached",
+    "render_phrase",
+    "save_micro_checkpoint",
+    "target_tokens",
+    "train_micro",
+]
