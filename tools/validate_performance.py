@@ -23,6 +23,7 @@ import sys
 TARGETS = {
     "asr_rtf_bf16": 60.0,
     "asr_rtf_int8": 80.0,
+    "asr_rtf_int4": 80.0,
     "e2e_rtf_defaults_on": 30.0,
     "wer_delta_max": 0.3,
 }
@@ -85,6 +86,21 @@ def main():
         )
         measured["asr_rtf_int8"] = quant["value"]
         passed["asr_rtf_int8"] = quant["value"] >= TARGETS["asr_rtf_int8"]
+
+        # BASELINE config 4 closes with int4 measured too. The MXU-feed
+        # roofline predicted ~int8 and the 2026-08-20 same-window A/B
+        # confirmed it (bf16 147x / int8 129x / int4 116x best-of-N):
+        # weight-only int does NOT speed up this TPU — the decode stream
+        # is feed-bound, and dequant adds work; its purpose is HBM
+        # capacity. Gate int4 at the same bar as int8.
+        quant4 = run_bench(
+            {
+                "WHISPERX_TPU_BENCH_SECONDS": seconds,
+                "WHISPERX_TPU_BENCH_COMPUTE": "int4",
+            }
+        )
+        measured["asr_rtf_int4"] = quant4["value"]
+        passed["asr_rtf_int4"] = quant4["value"] >= TARGETS["asr_rtf_int4"]
 
     if args.wer_report:
         with open(args.wer_report) as f:

@@ -462,6 +462,8 @@ class StreamingTranscriber:
         if partials:
             out["partial_mean_s"] = round(float(np.mean(partials)), 3)
             out["partial_median_s"] = round(float(np.median(partials)), 3)
+            out["partial_p90_s"] = round(float(np.percentile(partials, 90)), 3)
+            out["partial_max_s"] = round(float(np.max(partials)), 3)
         return out
 
     def start(self) -> None:
