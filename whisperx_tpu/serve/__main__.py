@@ -29,6 +29,8 @@ def main():
     parser.add_argument("--max_body_mb", type=int, default=256, help="reject request bodies over this size with 413")
     parser.add_argument("--max_streams", type=int, default=64, help="cap concurrent streaming sessions (429 past this)")
     parser.add_argument("--word_timestamps", action="store_true", help="attach cross-attention DTW word timings to every segment")
+    parser.add_argument("--temperature", type=float, default=0.0, help="initial sampling temperature")
+    parser.add_argument("--temperature_increment_on_fallback", type=float, default=0.2, help="quality-gate retry temperature step; 0 disables the retry ladder (random-weight benches MUST disable it: gates always fail and every chunk would cascade through all 6 temperatures with best_of tiling)")
     parser.add_argument("--no_warmup", action="store_true", help="skip pre-compiling the decode/mel/VAD programs at startup (first request then pays the XLA compiles)")
     parser.add_argument("--warmup_streaming", action="store_true", help="also pre-compile every streaming program (chunk-length buckets, prompted decode, partial prefix buckets) — a few extra minutes of startup, no mid-stream compile stalls")
     parser.add_argument("--align_model", type=str, default=None, help="wav2vec2 checkpoint/name for per-request ?align=true (default: per-language registry)")
@@ -62,8 +64,18 @@ def main():
                 if args.draft_model
                 else {}
             ),
-        }
-        or None,
+            "temperatures": (
+                (args.temperature,)
+                if not args.temperature_increment_on_fallback
+                else tuple(
+                    __import__("numpy").arange(
+                        args.temperature,
+                        1.0 + 1e-6,
+                        args.temperature_increment_on_fallback,
+                    )
+                )
+            ),
+        },
     )
     import jax
 
