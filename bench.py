@@ -243,7 +243,7 @@ def _probe_inline() -> dict:
         lats.append(time.time() - t0)
     return {
         "roundtrip_s": round(t_round, 2),
-        "upload_mbps": round(up_mbps, 1),
+        "upload_mib_s": round(up_mbps, 1),
         "sync_ms": round(sorted(lats)[len(lats) // 2] * 1000, 1),
         "backend": jax.default_backend(),
     }
@@ -289,7 +289,9 @@ def _history_watermark(metric_key: str) -> tuple:
             if (
                 isinstance(e, dict)
                 and e.get("unit") == "x realtime"
-                and metric_key.split(" RTF")[0] in str(e.get("metric", ""))
+                # FULL metric match: a defaults-on bench must not inherit
+                # the stripped config's (unreachable) watermark
+                and str(e.get("metric", "")) == metric_key
             ):
                 candidates.append(float(e["value"]))
         except (OSError, ValueError, TypeError):
@@ -395,8 +397,12 @@ def main():
     pipeline.transcribe(warm, batch_size=batch_size)
 
     tag = "" if compute_type == "bfloat16" else f" {compute_type}"
+    # the duration is part of the metric (and therefore of the history/
+    # watermark KEY): a 2-min smoke must neither claim "30-min audio" nor
+    # pollute the real bench's watermark bucket
+    dur_tag = f"{duration_s / 60:g}-min audio"
     metric_key = (
-        f"{model_name}{tag} batch={batch_size} RTF (30-min audio, {config_tag})"
+        f"{model_name}{tag} batch={batch_size} RTF ({dur_tag}, {config_tag})"
     )
 
     # Adaptive best-of-N guards against transient device/tunnel
@@ -535,7 +541,7 @@ def eot_main():
             for a, _ in files
         ]
         best = min(best, time.perf_counter() - t0)
-        exact = all(
+        exact = exact and all(
             " ".join(s["text"].strip() for s in h["segments"])
             == " ".join(t.strip() for _, t in ev)
             for h, (_, ev) in zip(hyps, files)

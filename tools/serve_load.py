@@ -242,11 +242,15 @@ def main():
     args = ap.parse_args()
 
     proc = None
-    host, port = "127.0.0.1", int(args.url.rsplit(":", 1)[1])
+    from urllib.parse import urlparse
+
+    parsed = urlparse(args.url)
+    host = parsed.hostname or "127.0.0.1"
+    port = parsed.port or (443 if parsed.scheme == "https" else 80)
     try:
         if args.spawn:
-            port = 9377
-            args.url = f"http://127.0.0.1:{port}"
+            host, port = "127.0.0.1", 9377
+            args.url = f"http://{host}:{port}"
             proc = subprocess.Popen(
                 [
                     sys.executable, "-m", "whisperx_tpu.serve",

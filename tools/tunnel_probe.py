@@ -69,8 +69,8 @@ def main():
                 "verdict": verdict,
                 "roundtrip_s": round(t_round, 2),
                 "sync_ms": round(sync_ms, 1),
-                "upload_mbps": round(up_mbps, 1),
-                "download_mbps": round(down_mbps, 1),
+                "upload_mib_s": round(up_mbps, 1),
+                "download_mib_s": round(down_mbps, 1),
                 "backend": jax.default_backend(),
             }
         )

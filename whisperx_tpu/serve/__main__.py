@@ -64,16 +64,12 @@ def main():
                 if args.draft_model
                 else {}
             ),
-            "temperatures": (
-                (args.temperature,)
-                if not args.temperature_increment_on_fallback
-                else tuple(
-                    __import__("numpy").arange(
-                        args.temperature,
-                        1.0 + 1e-6,
-                        args.temperature_increment_on_fallback,
-                    )
-                )
+            # same ladder as the transcription CLI; step 0 disables retries
+            "temperatures": __import__(
+                "whisperx_tpu.transcribe", fromlist=["_fallback_temperatures"]
+            )._fallback_temperatures(
+                args.temperature,
+                args.temperature_increment_on_fallback or None,
             ),
         },
     )

@@ -190,8 +190,12 @@ def chunk_examples(
             e = min(int(ch["end"] * SAMPLE_RATE), len(audio))
             seg = audio[s : min(e, s + N_SAMPLES)]
             seg = np.pad(seg, (0, N_SAMPLES - len(seg)))
+            # clamp at 0: an event admitted up to 0.05 s before the chunk
+            # start would otherwise produce a NEGATIVE onset, and
+            # timestamp_begin - 2 is <|nospeech|> — a corrupted target the
+            # inference-time timestamp rules can never reproduce
             rel = [
-                (round(t - s / SAMPLE_RATE, 4), x)
+                (max(0.0, round(t - s / SAMPLE_RATE, 4)), x)
                 for t, x in events
                 if ch["start"] - 0.05 <= t < ch["end"]
             ]

@@ -154,7 +154,9 @@ def transcribe_task(args: dict, parser: argparse.ArgumentParser):
             if verbose:
                 print(f">>Data-parallel decode over {n_dev} devices")
 
-    audio_paths = take("audio")
+    # duplicates (shell-glob overlap, scripted lists) would transcribe
+    # twice and write the same output files twice — process each once
+    audio_paths = list(dict.fromkeys(take("audio")))
     try:
         import jax
 
