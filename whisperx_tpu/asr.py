@@ -292,6 +292,13 @@ class TranscriptionPipeline:
         # chunk slicing, and mels all read the resident array.
         with _tracker.track("upload", len(audio) / SAMPLE_RATE):
             audio_dev = upload_audio(audio)
+            # barrier: device_put is async, and without it the transfer's
+            # tail lands in whatever stage touches the array first — the
+            # round-4 profile showed "vad: 3.0 s" that was really ~2.4 s
+            # of upload + 0.06 s of actual VAD. device_get, not
+            # block_until_ready: only a real readback is a reliable
+            # barrier through the device tunnel (docs/PERFORMANCE.md)
+            np.asarray(audio_dev.data[:1])
         with _tracker.track("vad", len(audio) / SAMPLE_RATE):
             chunks = self._segment_with_vad(audio_dev, chunk_size)
         if not chunks:
