@@ -358,6 +358,7 @@ def main():
     #     (avg logprob ≈ -log V), so retry cascades would measure a
     #     random-weights artifact real checkpoints rarely hit.
     defaults_on = bool(os.environ.get("WHISPERX_TPU_BENCH_DEFAULTS"))
+    with_words = bool(os.environ.get("WHISPERX_TPU_BENCH_WORDS"))
     if defaults_on:
         # every gate at its product default; with a single temperature the
         # ladder cannot retry, so gates are computed but never cascade
@@ -378,6 +379,13 @@ def main():
             "sample_len": sample_len,
         }
         config_tag = "VAD+mel+batched greedy decode"
+    if with_words:
+        # cross-attention DTW word timestamps on every segment (the
+        # teacher-forced capture pass + batched DTW); reference bar:
+        # single-pass batch decode + DTW words ~28x RT
+        # (reference ACTUAL_MODIFICATIONS_AND_DEPENDENCIES.md:102)
+        asr_options["word_timestamps"] = True
+        config_tag += " + DTW word timestamps"
 
     pipeline = load_model(
         model_name,
