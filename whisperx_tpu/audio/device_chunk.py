@@ -63,9 +63,73 @@ def _pcm16_exact(padded: np.ndarray) -> Optional[np.ndarray]:
     return None
 
 
+_MU = 255.0
+
+
+def mulaw_encode(padded: np.ndarray) -> np.ndarray:
+    """8-bit μ-law companding (G.711-style, vectorized): [L] f32 in [-1,1]
+    → [L] uint8. Quantization SNR for speech-level signals is ~38 dB —
+    far above the log-mel floor, but lossy: upload companding is OPT-IN
+    (WHISPERX_TPU_UPLOAD_COMPAND=mulaw) and every use must be validated
+    against the transcript (tests/test_audio.py, tools chip A/B)."""
+    x = np.clip(padded, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
+@jax.jit
+def mulaw_expand(u8: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse companding: one fused elementwise pass, so the
+    tunnel moves 1 byte/sample and the chip pays ~nothing to expand."""
+    y = u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+    return jnp.sign(y) * (jnp.exp(jnp.abs(y) * np.log1p(_MU)) - 1.0) / _MU
+
+
+def pack12_encode(padded: np.ndarray) -> np.ndarray:
+    """12-bit linear packing: [L] f32 (L even) → [L*3/2] uint8. Linear
+    quantization at 2^-11 amplitude steps — the noise floor stays ~66 dB
+    below full scale, so unlike μ-law the log-mel's quiet bins are
+    essentially untouched; 1.33× fewer bytes than int16."""
+    a = np.clip(np.round(padded * 2048.0), -2048, 2047).astype(np.int32)
+    u = (a & 0xFFF).astype(np.uint16)  # two's complement, 12 bits
+    lo, hi = u[0::2], u[1::2]
+    b0 = lo & 0xFF
+    b1 = (lo >> 8) | ((hi & 0xF) << 4)
+    b2 = hi >> 4
+    return np.stack([b0, b1, b2], axis=1).astype(np.uint8).reshape(-1)
+
+
+@jax.jit
+def pack12_expand(u8: jnp.ndarray) -> jnp.ndarray:
+    """Device-side unpack: integer shifts + a sign fold, fully fused."""
+    b = u8.astype(jnp.int32).reshape(-1, 3)
+    lo = b[:, 0] | ((b[:, 1] & 0xF) << 8)
+    hi = (b[:, 1] >> 4) | (b[:, 2] << 4)
+    u = jnp.stack([lo, hi], axis=1).reshape(-1)
+    s = jnp.where(u >= 2048, u - 4096, u)
+    return s.astype(jnp.float32) / 2048.0
+
+
+def _compand_mode() -> str:
+    import os
+
+    return os.environ.get("WHISPERX_TPU_UPLOAD_COMPAND", "").lower()
+
+
 def to_device(padded: np.ndarray) -> jnp.ndarray:
     """Upload audio, as int16 when it is PCM-exact (the int16 payload
-    halves the ~40 MB/s tunnel cost)."""
+    halves the ~40 MB/s tunnel cost), or — opt-in via
+    WHISPERX_TPU_UPLOAD_COMPAND — as 8-bit μ-law (2× fewer bytes than
+    int16, lossy: ~38 dB SNR with a raised noise floor in quiet mel bins)
+    or 12-bit packed linear (1.33× fewer, near-lossless). The upload wall
+    was 32-45% of a best bench pass in round 4 (BENCH_r04.json stages) and
+    transfer pipelining is a measured dead end on this tunnel
+    (docs/ROADMAP.md session 3), so fewer bytes is the remaining lever."""
+    mode = _compand_mode()
+    if mode == "mulaw":
+        return mulaw_expand(jnp.asarray(mulaw_encode(padded)))
+    if mode == "pack12":
+        return pack12_expand(jnp.asarray(pack12_encode(padded)))
     a16 = _pcm16_exact(padded)
     if a16 is not None:
         return jnp.asarray(a16).astype(jnp.float32) / 32768.0
