@@ -218,9 +218,11 @@ def _spec_curve(base, keep: int, gamma: int, sample_len: int):
 
 
 def _probe_inline() -> dict:
-    """Tunnel-health stats embedded in the bench record (same measurements
-    as tools/tunnel_probe.py): the artifact must carry the evidence of the
-    transport conditions it was taken under."""
+    """Tunnel AND chip-health stats embedded in the bench record (same
+    transport measurements as tools/tunnel_probe.py, plus a timed bf16
+    matmul chain for CO-TENANT chip contention — the axis the transport
+    probe can't see): the artifact must carry the evidence of the
+    conditions it was taken under."""
     import jax
     import jax.numpy as jnp
 
@@ -241,12 +243,80 @@ def _probe_inline() -> dict:
         t0 = time.time()
         np.asarray(x[:1, :1])
         lats.append(time.time() - t0)
+
+    # chip-compute probe: 64 chained 1024^3 bf16 matmuls (~137 GFLOP)
+    # inside ONE dispatch, so tunnel latency is amortized away and the
+    # number moves with co-tenant MXU pressure
+    @jax.jit
+    def _chain(a):
+        def body(_, m):
+            return jnp.tanh(m @ a)
+
+        return jax.lax.fori_loop(0, 64, body, a)
+
+    a = jnp.ones((1024, 1024), jnp.bfloat16) * 0.001
+    _chain(a).block_until_ready()  # compile outside the timing
+    t0 = time.time()
+    _chain(a).block_until_ready()
+    np.asarray(x[:1, :1])  # true barrier through the tunnel
+    dt = time.time() - t0
+    tflops = 64 * 2 * 1024**3 / dt / 1e12
     return {
         "roundtrip_s": round(t_round, 2),
         "upload_mib_s": round(up_mbps, 1),
         "sync_ms": round(sorted(lats)[len(lats) // 2] * 1000, 1),
+        "matmul_tflops": round(tflops, 1),
         "backend": jax.default_backend(),
+        "t": time.strftime("%H:%M:%S"),
     }
+
+
+def _history_best_tflops() -> float:
+    """Best chip-compute probe ever recorded here — the 'quiet chip'
+    yardstick for the defer loop (0 when no history exists yet)."""
+    best = 0.0
+    try:
+        with open(_HISTORY_PATH) as f:
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                p = e.get("probe") or {}
+                best = max(best, float(p.get("matmul_tflops") or 0.0))
+    except OSError:
+        pass
+    return best
+
+
+def _probe_quiet(probe: dict, best_tflops: float) -> bool:
+    """Is this window worth burning repeats on? Transport healthy AND the
+    chip-compute probe near its historical best."""
+    if probe.get("upload_mib_s", 0) < 22 or probe.get("roundtrip_s", 9) > 0.5:
+        return False
+    if best_tflops > 0 and probe.get("matmul_tflops", 0) < 0.75 * best_tflops:
+        return False
+    return True
+
+
+def _defer_for_quiet_window(budget_s: float, probe_series: list) -> float:
+    """Contention-aware scheduling (round-4 verdict Missing #4): spend the
+    bench budget where the chip is quiet. Probe; while the window is
+    contended and the defer budget lasts, sleep and re-probe. Every probe
+    sample lands in ``probe_series`` — a low graded number must carry a
+    probe series proving no quiet window existed. Returns seconds spent
+    deferring."""
+    best_tflops = _history_best_tflops()
+    t0 = time.monotonic()
+    interval = float(os.environ.get("WHISPERX_TPU_BENCH_PROBE_INTERVAL", 20))
+    while True:
+        probe = _probe_inline()
+        probe_series.append(probe)
+        if _probe_quiet(probe, best_tflops):
+            return time.monotonic() - t0
+        if time.monotonic() - t0 + interval > budget_s:
+            return time.monotonic() - t0
+        time.sleep(interval)
 
 
 _HISTORY_PATH = os.path.expanduser("~/.cache/whisperx_tpu/bench_history.jsonl")
@@ -398,11 +468,17 @@ def main():
 
     audio = synth_speech(duration_s)
 
-    probe_before = _probe_inline()
-
-    # warmup: compile every program (mel, encoder, prefill, decode loop)
+    # warmup first: compiles must not eat the quiet window the defer loop
+    # below may find
     warm = audio[: 16000 * 60]
     pipeline.transcribe(warm, batch_size=batch_size)
+
+    # contention-aware scheduling: probe; defer (bounded) while the
+    # transport or the chip-compute probe says the window is contended
+    probe_series: list = []
+    defer_budget = float(os.environ.get("WHISPERX_TPU_BENCH_DEFER_S", 240))
+    deferred_s = _defer_for_quiet_window(defer_budget, probe_series)
+    probe_before = probe_series[-1]
 
     tag = "" if compute_type == "bfloat16" else f" {compute_type}"
     # the duration is part of the metric (and therefore of the history/
@@ -436,6 +512,7 @@ def main():
     elapsed = float("inf")
     bench_t0 = time.monotonic()
     since_best = 0
+    best_tflops = _history_best_tflops()
     while len(times) < repeats or (
         len(times) < max_repeats
         and time.monotonic() - bench_t0 < budget_s
@@ -459,6 +536,25 @@ def main():
             }
         elapsed = min(elapsed, dt)
         times.append(dt)
+        # mid-run deferral: stuck far below the watermark with budget to
+        # spare -> stop burning contended passes, sleep + re-probe until
+        # the chip clears (every sample recorded)
+        if (
+            since_best >= 2
+            and watermark is not None
+            and duration_s / elapsed < 0.85 * watermark
+            and len(times) >= repeats
+        ):
+            remaining = budget_s - (time.monotonic() - bench_t0)
+            if remaining > 60:
+                probe_series.append(_probe_inline())
+                while (
+                    not _probe_quiet(probe_series[-1], best_tflops)
+                    and budget_s - (time.monotonic() - bench_t0) > 60
+                ):
+                    time.sleep(20)
+                    probe_series.append(_probe_inline())
+                since_best = 0  # give the (possibly) cleared window a shot
 
     if os.environ.get("WHISPERX_TPU_BENCH_STAGES"):
         import sys
@@ -491,6 +587,8 @@ def main():
                 "median_rtf": round(duration_s / median, 2),
                 "watermark_rtf": watermark,
                 "watermark_source": wm_source,
+                "deferred_s": round(deferred_s, 1),
+                "probe_series": probe_series,
             }
         )
     )
@@ -530,45 +628,76 @@ def eot_main():
 
     from whisperx_tpu.asr import load_model
 
-    pipe = load_model(
-        ckpt, language="en", vad_method="energy", batch_size=8
-    )
     files = build_files()
-    pipe.transcribe(
-        files[0][0], batch_size=8, chunk_size=DEFAULT_CHUNK_SIZE
-    )  # warmup
-
-    repeats = int(os.environ.get("WHISPERX_TPU_BENCH_REPEATS", 3))
     total_audio = sum(len(a) / 16000 for a, _ in files)
-    best = float("inf")
-    exact = True
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        hyps = [
-            pipe.transcribe(a, batch_size=8, chunk_size=DEFAULT_CHUNK_SIZE)
-            for a, _ in files
-        ]
-        best = min(best, time.perf_counter() - t0)
-        exact = exact and all(
-            " ".join(s["text"].strip() for s in h["segments"])
-            == " ".join(t.strip() for _, t in ev)
-            for h, (_, ev) in zip(hyps, files)
+    repeats = int(os.environ.get("WHISPERX_TPU_BENCH_REPEATS", 3))
+    # WHISPERX_TPU_BENCH_DRAFT=self:1 adds a speculative ON pass after the
+    # OFF pass — same process, same window — for the first NON-synthetic
+    # chip speculative datapoint (round-4 verdict Missing #6; the
+    # alpha-dialed curve in spec_main is a controlled projection)
+    draft = os.environ.get("WHISPERX_TPU_BENCH_DRAFT")
+    words_on = bool(os.environ.get("WHISPERX_TPU_BENCH_WORDS"))
+
+    def run_config(asr_options):
+        pipe = load_model(
+            ckpt,
+            language="en",
+            vad_method="energy",
+            batch_size=8,
+            asr_options=asr_options,
         )
-    rtf = total_audio / best
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "micro-learned EOT-driven pipeline RTF "
-                    f"({len(files)} files, exact_transcripts={exact})"
-                ),
-                "value": round(rtf, 2),
-                "unit": "x realtime",
-                "vs_baseline": round(rtf / 5.7, 2),
-                "exact": exact,
-            }
+        pipe.transcribe(
+            files[0][0], batch_size=8, chunk_size=DEFAULT_CHUNK_SIZE
+        )  # warmup
+        best = float("inf")
+        exact = True
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            hyps = [
+                pipe.transcribe(
+                    a, batch_size=8, chunk_size=DEFAULT_CHUNK_SIZE
+                )
+                for a, _ in files
+            ]
+            best = min(best, time.perf_counter() - t0)
+            exact = exact and all(
+                " ".join(s["text"].strip() for s in h["segments"])
+                == " ".join(t.strip() for _, t in ev)
+                for h, (_, ev) in zip(hyps, files)
+            )
+        return best, exact, pipe
+
+    opts = {"word_timestamps": True} if words_on else {}
+    best, exact, _ = run_config(dict(opts))
+    record = {
+        "metric": (
+            "micro-learned EOT-driven pipeline RTF "
+            f"({len(files)} files, exact_transcripts={exact}"
+            + (", +DTW words" if words_on else "")
+            + ")"
+        ),
+        "value": round(total_audio / best, 2),
+        "unit": "x realtime",
+        "vs_baseline": round(total_audio / best / 5.7, 2),
+        "exact": exact,
+    }
+    if draft:
+        best_on, exact_on, pipe_on = run_config(
+            dict(opts, draft_model=draft)
         )
-    )
+        st = pipe_on._spec().stats
+        record["speculative"] = {
+            "draft": draft,
+            "rtf_on": round(total_audio / best_on, 2),
+            "rtf_off": record["value"],
+            "speedup": round(best / best_on, 3),
+            "acceptance": round(st.acceptance_rate, 3),
+            "proposed": st.proposed,
+            "accepted": st.accepted,
+            "target_steps": st.target_steps,
+            "exact": exact_on,
+        }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

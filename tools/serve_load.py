@@ -39,10 +39,36 @@ for p in (_REPO, os.path.join(_REPO, "examples")):
         sys.path.insert(0, p)
 
 
-def make_wav_bytes(seconds: float, seed: int = 0) -> bytes:
-    from bench import synth_speech
+USE_MICRO_AUDIO = False  # set by --micro_audio
 
-    audio = synth_speech(seconds, seed=seed)
+
+def _micro_audio(seconds: float, seed: int = 0):
+    """Tone-corpus audio the CI-trained micro checkpoint transcribes with
+    natural EOT — decode lengths are then REAL (60-90-token-regime
+    analogue), not the 224-token sample_len cascade random weights cost
+    (round-4 verdict Next #8: the honest serving curve)."""
+    import numpy as np
+
+    from whisperx_tpu.train.micro import PHRASES, compose_file, phrase_duration
+
+    rng = np.random.default_rng(seed)
+    events, t = [], 0.6
+    while t < seconds - 4.0:
+        text = PHRASES[int(rng.integers(len(PHRASES)))]
+        events.append((round(t, 2), text))
+        t += phrase_duration(text) + 1.0 + 1.2 * float(rng.random())
+    audio = compose_file(events, tail_s=1.0)
+    need = int(seconds * 16000)
+    return np.pad(audio, (0, max(0, need - len(audio))))[:need]
+
+
+def make_wav_bytes(seconds: float, seed: int = 0) -> bytes:
+    if USE_MICRO_AUDIO:
+        audio = _micro_audio(seconds, seed=seed)
+    else:
+        from bench import synth_speech
+
+        audio = synth_speech(seconds, seed=seed)
     pcm = (audio * 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
@@ -117,9 +143,12 @@ def stream_once(host: str, port: int, seconds: float, out: list,
 
     import numpy as np
 
-    from bench import synth_speech
+    if USE_MICRO_AUDIO:
+        audio = _micro_audio(seconds)
+    else:
+        from bench import synth_speech
 
-    audio = synth_speech(seconds)
+        audio = synth_speech(seconds)
     pcm = (audio * 32767).astype("<i2")
     params = "format=i16&sample_rate=16000"
     if partial_interval:
@@ -232,6 +261,13 @@ def main():
     ap.add_argument("--stream_seconds", type=float, default=15.0)
     ap.add_argument("--burst", type=int, default=0, help="overload burst size (0 = skip)")
     ap.add_argument(
+        "--micro_audio",
+        action="store_true",
+        help="send tone-corpus audio the micro checkpoint transcribes with "
+        "natural EOT (honest decode lengths; pair with a server spawned on "
+        "the micro checkpoint)",
+    )
+    ap.add_argument(
         "--spawn",
         default=None,
         metavar="MODEL",
@@ -240,6 +276,9 @@ def main():
         "so the burst phase actually sheds",
     )
     args = ap.parse_args()
+    if args.micro_audio:
+        global USE_MICRO_AUDIO
+        USE_MICRO_AUDIO = True
 
     proc = None
     from urllib.parse import urlparse

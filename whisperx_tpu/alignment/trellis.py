@@ -70,7 +70,9 @@ def wildcard_token_scores(
     """Per-frame emission scores for each token; wildcard (-1) tokens take
     the max non-blank score (reference get_wildcard_emission,
     alignment.py:407-437). emission: [T, V] → [T, N]."""
-    tokens = np.asarray(tokens)
+    # int64 even when empty (a 1-char segment has no tokens[1:] — a plain
+    # asarray would be float64 and break the fancy index)
+    tokens = np.asarray(tokens, dtype=np.int64)
     safe = np.clip(tokens, 0, None)
     scores = emission[:, safe]  # [T, N]
     masked = emission.copy()

@@ -252,6 +252,34 @@ class TranscriptionPipeline:
         initial_prompt: Optional[str] = None,
         **kwargs,
     ) -> TranscriptionResult:
+        # Per-call ASR option overrides (e.g. word_timestamps=True for one
+        # file): keys must exist in DEFAULT_ASR_OPTIONS — a typo'd option
+        # silently doing nothing is worse than an error. Applied by a
+        # scoped swap of self.asr_options (the pipeline serializes
+        # transcribe calls; serve/ holds its own lock).
+        if kwargs:
+            unknown = set(kwargs) - set(DEFAULT_ASR_OPTIONS)
+            if unknown:
+                raise TypeError(
+                    f"Unknown transcribe option(s): {sorted(unknown)}. "
+                    "Valid keys are those of DEFAULT_ASR_OPTIONS."
+                )
+            saved_options = self.asr_options
+            self.asr_options = {**saved_options, **kwargs}
+            try:
+                return self.transcribe(
+                    audio,
+                    batch_size=batch_size,
+                    chunk_size=chunk_size,
+                    language=language,
+                    task=task,
+                    print_progress=print_progress,
+                    combined_progress=combined_progress,
+                    verbose=verbose,
+                    initial_prompt=initial_prompt,
+                )
+            finally:
+                self.asr_options = saved_options
         if isinstance(audio, str):
             audio = load_audio(audio)
         audio = np.asarray(audio, np.float32)

@@ -73,6 +73,7 @@ def render_chars(
     lexicon: Optional[Dict[str, float]] = None,
     lead_s: float = 0.0,
     sr: int = SAMPLE_RATE,
+    augment_rng=None,
 ) -> Tuple[np.ndarray, List[Tuple[str, float]]]:
     """Render a phrase char-by-char. Returns (audio, [(word, onset_s)]).
 
@@ -80,6 +81,13 @@ def render_chars(
     frequency; characters inside a word are separated by CHAR_GAP_SECONDS
     and words by WORD_GAP_SECONDS of silence. A word's onset is its first
     character's tone onset — exact ground truth for alignment tests.
+
+    ``augment_rng`` (training only): randomizes each tone's initial PHASE
+    and amplitude. The conv frontend reads raw samples, so an overfit
+    micro model keys on the exact phase of each tone relative to the
+    stride grid — measured: training rows decoded exactly while any fresh
+    lead produced garbage. Phase augmentation forces the energy-style
+    invariance real speech variability would provide.
     """
     if lexicon is None:
         lexicon = char_lexicon(vocab)
@@ -101,10 +109,16 @@ def render_chars(
                 )
                 t += CHAR_GAP_SECONDS
             tt = np.arange(tone_n) / sr
+            phase = 0.0
+            amp = 0.4
+            if augment_rng is not None:
+                phase = 2 * math.pi * float(augment_rng.random())
+                amp = 0.25 + 0.3 * float(augment_rng.random())
             parts.append(
-                (0.4 * np.sin(2 * math.pi * lexicon[ch] * tt)).astype(
-                    np.float32
-                )
+                (
+                    amp
+                    * np.sin(2 * math.pi * lexicon[ch] * tt + phase)
+                ).astype(np.float32)
                 * ramp
             )
             t += CHAR_SECONDS
@@ -127,7 +141,7 @@ def train_ctc_micro(
     phrases: Sequence[str] = PHRASES,
     steps: int = 500,
     lr: float = 2.5e-3,
-    variants: int = 5,
+    variants: int = 12,
     seed: int = 0,
     log_every: int = 0,
 ) -> Tuple[dict, object, Dict[str, int], dict]:
@@ -141,6 +155,13 @@ def train_ctc_micro(
     import jax.numpy as jnp
     import optax
 
+    # On TPU the default f32 matmul runs at bf16 MXU precision; a micro
+    # model overfit under that noise floor decodes DIFFERENTLY in true
+    # f32 on the CPU host (measured: chip-certified 64/64 exact, same
+    # params 0/64 on CPU). Pin the numerics so a chip-trained cache and
+    # the CPU CI see the same model.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     from whisperx_tpu.alignment.aligner import DEFAULT_EN_VOCAB
     from whisperx_tpu.models.wav2vec2.model import (
         TEST_CONFIG,
@@ -151,15 +172,26 @@ def train_ctc_micro(
     )
 
     vocab = dict(DEFAULT_EN_VOCAB)
-    # TEST_CONFIG scale, but with the per-frame LAYER-norm feature
-    # extractor (the large/xlsr variant): the base extractor's group-norm
-    # normalizes each channel OVER TIME, which makes emissions depend on
-    # how much (and how quiet) padding surrounds the speech — measured to
-    # break alignment on noiseless silence. Per-frame norm is
-    # padding-invariant by construction.
+    # TEST_CONFIG scale with two translation-robustness fixes (both
+    # MEASURED failures of the unmodified config on this corpus):
+    #   - per-frame LAYER-norm feature extractor (the large/xlsr variant):
+    #     the base extractor's group-norm normalizes each channel OVER
+    #     TIME, so emissions depended on how much (and how quiet) padding
+    #     surrounded the speech — broke alignment on noiseless silence;
+    #   - LOCAL positional conv (k=16 vs the published 128): at micro clip
+    #     lengths (~100-200 frames) a 128-wide padded conv reaches most of
+    #     the sequence from its boundaries, leaking ABSOLUTE position —
+    #     the trained model emitted chars at memorized training offsets
+    #     instead of tracking the audio (h argmax at frame 1 for a tone
+    #     at frame 10 under a held-out lead).
     import dataclasses as _dc
 
-    cfg = _dc.replace(TEST_CONFIG, feat_extract_norm="layer")
+    cfg = _dc.replace(
+        TEST_CONFIG,
+        feat_extract_norm="layer",
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=8,
+    )
     assert isinstance(cfg, Wav2Vec2Config)
     lex = char_lexicon(vocab)
     rng = np.random.default_rng(seed)
@@ -167,20 +199,44 @@ def train_ctc_micro(
     # mixed noise floors INCLUDING perfectly clean renderings, so the
     # model is robust across silence statistics (digital-zero silence is
     # a legitimate product input)
-    noise_amps = [0.0, 0.01, 0.005, 0.02, 0.0, 0.01][:variants] or [0.01]
+    # Corpus: RANDOM character sequences, not the test phrases. Training
+    # on a handful of fixed phrases lets a micro model entangle sequence
+    # context with weak acoustics (measured: every corpus certificate
+    # exact, every held-out rendering garbage — 'h' decoded as 't'/'w').
+    # Random strings make context useless: the only way to fit them is a
+    # genuine per-frame tone classifier, which then generalizes to ANY
+    # text — including the held-out test phrases. A few canonical phrase
+    # renders are kept so the certificate covers the product regime too.
+    noise_amps = [0.0, 0.01, 0.005, 0.02, 0.0, 0.01, 0.002, 0.015]
+    chars = sorted(lex)
     waves, labels, metas = [], [], []
-    for text in phrases:
-        for v in range(variants):
-            lead = 0.5 * float(rng.random())
-            audio, onsets = render_chars(text, vocab, lex, lead_s=lead)
-            amp = noise_amps[v % len(noise_amps)]
-            if amp:
-                audio = audio + (
-                    amp * rng.standard_normal(len(audio))
-                ).astype(np.float32)
-            waves.append(audio)
-            labels.append(labels_for(text, vocab))
-            metas.append(onsets)
+
+    def _add(text, v, augment):
+        lead = 0.6 * float(rng.random())
+        audio, onsets = render_chars(
+            text, vocab, lex, lead_s=lead,
+            augment_rng=rng if augment else None,
+        )
+        amp = noise_amps[v % len(noise_amps)]
+        if amp:
+            audio = audio + (
+                amp * rng.standard_normal(len(audio))
+            ).astype(np.float32)
+        waves.append(audio)
+        labels.append(labels_for(text, vocab))
+        metas.append(onsets)
+
+    n_random = variants * len(phrases)
+    for v in range(n_random):
+        words = []
+        for _ in range(int(rng.integers(2, 5))):
+            n = int(rng.integers(2, 8))
+            words.append(
+                "".join(chars[int(i)] for i in rng.integers(0, len(chars), n))
+            )
+        _add(" " + " ".join(words), v, augment=v % 3 != 0)
+    for v, text in enumerate(phrases):
+        _add(text, v, augment=False)
 
     n_samp = max(len(w) for w in waves)
     n_samp = -(-n_samp // 3200) * 3200  # 0.2 s granularity
@@ -263,7 +319,9 @@ def train_ctc_micro(
     exact = greedy_exact(params)
     opt_extra = optax.adam(lr / 6)
     extra_rounds = 0
-    while exact < len(waves) and extra_rounds < 4:
+    # gate on loss too: exactness at a high loss sits on a numeric knife
+    # edge (precision-dependent decodes); push the per-frame confidence up
+    while (exact < len(waves) or float(loss) > 0.05) and extra_rounds < 6:
         extra_rounds += 1
         if extra_rounds == 1:
             opt_state = opt_extra.init(params)
