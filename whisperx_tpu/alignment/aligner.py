@@ -5,6 +5,14 @@ converted checkpoints (whisperx_tpu/convert/wav2vec2_hf.py); with none
 available a random-weight model keeps the pipeline structurally functional
 (hermetic test mode). Emission lengths are bucketed to powers of two so XLA
 compiles a handful of programs instead of one per segment length.
+
+Timing accuracy is proven end to end with MEANINGFUL weights in CI: a
+micro wav2vec2-CTC trained online on a char-tone corpus with exact known
+onsets (train/ctc_micro.py) loads through this module's converted-
+checkpoint branch and ``align()`` recovers every held-out word onset
+within ±0.09 s, mean error ≤3 frames (tests/test_ctc_learned.py — the
+regime the "RANDOM weights" warning below used to be the only alternative
+to).
 """
 
 from __future__ import annotations

@@ -137,76 +137,66 @@ def labels_for(text: str, vocab: Dict[str, int]) -> List[int]:
 # ---------------------------------------------------------------------------
 
 
-def train_ctc_micro(
-    phrases: Sequence[str] = PHRASES,
-    steps: int = 500,
-    lr: float = 2.5e-3,
-    variants: int = 12,
-    seed: int = 0,
-    log_every: int = 0,
-) -> Tuple[dict, object, Dict[str, int], dict]:
-    """Train the micro CTC model. Returns (params f32, config, vocab, report).
-
-    Corpus: each phrase rendered ``variants`` times with random lead
-    silence (0–0.35 s) and light additive noise, so the model cannot
-    memorize absolute positions and must read the waveform.
-    """
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    # On TPU the default f32 matmul runs at bf16 MXU precision; a micro
-    # model overfit under that noise floor decodes DIFFERENTLY in true
-    # f32 on the CPU host (measured: chip-certified 64/64 exact, same
-    # params 0/64 on CPU). Pin the numerics so a chip-trained cache and
-    # the CPU CI see the same model.
-    jax.config.update("jax_default_matmul_precision", "highest")
-
-    from whisperx_tpu.alignment.aligner import DEFAULT_EN_VOCAB
-    from whisperx_tpu.models.wav2vec2.model import (
-        TEST_CONFIG,
-        Wav2Vec2Config,
-        forward,
-        init_params,
-        output_lengths,
-    )
-
-    vocab = dict(DEFAULT_EN_VOCAB)
-    # TEST_CONFIG scale with two translation-robustness fixes (both
-    # MEASURED failures of the unmodified config on this corpus):
-    #   - per-frame LAYER-norm feature extractor (the large/xlsr variant):
-    #     the base extractor's group-norm normalizes each channel OVER
-    #     TIME, so emissions depended on how much (and how quiet) padding
-    #     surrounded the speech — broke alignment on noiseless silence;
-    #   - LOCAL positional conv (k=16 vs the published 128): at micro clip
-    #     lengths (~100-200 frames) a 128-wide padded conv reaches most of
-    #     the sequence from its boundaries, leaking ABSOLUTE position —
-    #     the trained model emitted chars at memorized training offsets
-    #     instead of tracking the audio (h argmax at frame 1 for a tone
-    #     at frame 10 under a held-out lead).
+def micro_ctc_config():
+    """TEST_CONFIG scale with three robustness fixes, each a MEASURED
+    failure of the unmodified config on this corpus:
+      - per-frame LAYER-norm feature extractor (the large/xlsr variant):
+        the base extractor's group-norm normalizes each channel OVER
+        TIME, so emissions depended on how much (and how quiet) padding
+        surrounded the speech — broke alignment on noiseless silence;
+      - LOCAL positional conv (k=16 vs the published 128): at micro clip
+        lengths (~100-200 frames) a 128-wide padded conv reaches most of
+        the sequence from its boundaries, leaking ABSOLUTE position —
+        the trained model emitted chars at memorized training offsets
+        instead of tracking the audio;
+      - a 25 ms FIRST conv (k=400, stride 320 — one full frame per tap)
+        instead of the published 7-layer k=10/3/3/... pyramid: at micro
+        scale the deep narrow stack cannot learn narrowband frequency
+        discrimination from scratch, and SGD routes around it by
+        memorizing whole waveforms in the attention layers (corpus
+        certificates exact, every held-out rendering garbage). One wide
+        conv layer is a learnable matched-filter bank — the classic
+        spectrogram frontend — and makes the acoustics the easy path.
+    The frame rate stays the published ~50 fps (stride product 320), so
+    the alignment math is unchanged."""
     import dataclasses as _dc
 
-    cfg = _dc.replace(
+    from whisperx_tpu.models.wav2vec2.model import TEST_CONFIG
+
+    return _dc.replace(
         TEST_CONFIG,
+        conv_dim=(64, 64),
+        conv_kernel=(400, 3),
+        conv_stride=(320, 1),
         feat_extract_norm="layer",
         num_conv_pos_embeddings=16,
         num_conv_pos_embedding_groups=8,
     )
-    assert isinstance(cfg, Wav2Vec2Config)
+
+
+def build_ctc_corpus(
+    phrases: Sequence[str] = PHRASES,
+    variants: int = 12,
+    seed: int = 0,
+):
+    """(waves, labels, metas): random char sequences + canonical phrases.
+
+    RANDOM character sequences, not just the test phrases: training on a
+    handful of fixed phrases lets a micro model entangle sequence context
+    with weak acoustics (measured: every corpus certificate exact, every
+    held-out rendering garbage — 'h' decoded as 't'/'w'). Random strings
+    make context useless: the only way to fit them is a genuine per-frame
+    tone classifier, which then generalizes to ANY text — including the
+    held-out test phrases. The canonical phrase renders are kept so the
+    certificate covers the product regime too. Mixed noise floors include
+    perfectly clean renderings (digital-zero silence is a legitimate
+    product input).
+    """
+    from whisperx_tpu.alignment.aligner import DEFAULT_EN_VOCAB
+
+    vocab = dict(DEFAULT_EN_VOCAB)
     lex = char_lexicon(vocab)
     rng = np.random.default_rng(seed)
-
-    # mixed noise floors INCLUDING perfectly clean renderings, so the
-    # model is robust across silence statistics (digital-zero silence is
-    # a legitimate product input)
-    # Corpus: RANDOM character sequences, not the test phrases. Training
-    # on a handful of fixed phrases lets a micro model entangle sequence
-    # context with weak acoustics (measured: every corpus certificate
-    # exact, every held-out rendering garbage — 'h' decoded as 't'/'w').
-    # Random strings make context useless: the only way to fit them is a
-    # genuine per-frame tone classifier, which then generalizes to ANY
-    # text — including the held-out test phrases. A few canonical phrase
-    # renders are kept so the certificate covers the product regime too.
     noise_amps = [0.0, 0.01, 0.005, 0.02, 0.0, 0.01, 0.002, 0.015]
     chars = sorted(lex)
     waves, labels, metas = [], [], []
@@ -237,116 +227,208 @@ def train_ctc_micro(
         _add(" " + " ".join(words), v, augment=v % 3 != 0)
     for v, text in enumerate(phrases):
         _add(text, v, augment=False)
+    return waves, labels, metas
 
-    n_samp = max(len(w) for w in waves)
-    n_samp = -(-n_samp // 3200) * 3200  # 0.2 s granularity
-    batch = np.zeros((len(waves), n_samp), np.float32)
-    frame_n = np.zeros(len(waves), np.int32)
-    for i, w in enumerate(waves):
-        batch[i, : len(w)] = w
-        frame_n[i] = output_lengths(cfg, len(w))
-    t_frames = output_lengths(cfg, n_samp)
 
-    l_max = max(len(x) for x in labels)
-    lab = np.zeros((len(labels), l_max), np.int32)
-    lab_pad = np.ones((len(labels), l_max), np.float32)
-    for i, x in enumerate(labels):
-        lab[i, : len(x)] = x
-        lab_pad[i, : len(x)] = 0.0
-    logit_pad = (
-        np.arange(t_frames)[None, :] >= frame_n[:, None]
-    ).astype(np.float32)
+def train_ctc_micro(
+    phrases: Sequence[str] = PHRASES,
+    steps: int = 2200,
+    lr: float = 2.5e-3,
+    variants: int = 12,
+    seed: int = 0,
+    log_every: int = 0,
+) -> Tuple[dict, object, Dict[str, int], dict]:
+    """Train the micro CTC model. Returns (params f32, config, vocab, report)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
 
-    params = init_params(cfg, jax.random.PRNGKey(seed), dtype=jnp.float32)
+    # On TPU the default f32 matmul runs at bf16 MXU precision; a micro
+    # model overfit under that noise floor decodes DIFFERENTLY in true
+    # f32 on the CPU host (measured: chip-certified 64/64 exact, same
+    # params 0/64 on CPU). Pin the numerics so a chip-trained cache and
+    # the CPU CI see the same model.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from whisperx_tpu.alignment.aligner import DEFAULT_EN_VOCAB
+    from whisperx_tpu.models.wav2vec2.model import (
+        forward,
+        init_params,
+        output_lengths,
+    )
+
+    vocab = dict(DEFAULT_EN_VOCAB)
+    cfg = micro_ctc_config()
     blank_id = vocab["<pad>"]
 
-    batch_j = jnp.asarray(batch)
-    lab_j = jnp.asarray(lab)
-    lab_pad_j = jnp.asarray(lab_pad)
-    logit_pad_j = jnp.asarray(logit_pad)
+    # ONLINE training: every minibatch is freshly sampled (new texts,
+    # leads, phases, amplitudes, noise), so memorization is impossible —
+    # the only solution SGD can find is the per-frame tone classifier.
+    # (Measured on the fixed-corpus variant: every corpus certificate
+    # exact, every held-out rendering garbage.) The certificate below is
+    # therefore a TRUE generalization test: greedy exactness on a fixed
+    # held-out set the optimizer never saw.
+    MB = 16
+    N_SAMP = 76800  # 4.8 s rows
+    L_MAX = 40
 
-    def loss_fn(p):
-        # forward() returns log-probs; optax.ctc_loss is shift-invariant in
-        # its logits argument, so log-probs are an equivalent input
-        logp = forward(p, cfg, batch_j)
-        per = optax.ctc_loss(
-            logp, logit_pad_j, lab_j, lab_pad_j, blank_id=blank_id
-        )
+    def sample_rows(rng, n, canonical_frac=0.25):
+        waves, labels = [], []
+        chars = sorted(char_lexicon(vocab))
+        lex = char_lexicon(vocab)
+        noise_amps = [0.0, 0.01, 0.005, 0.02]
+        for i in range(n):
+            if rng.random() < canonical_frac:
+                text = phrases[int(rng.integers(len(phrases)))]
+            else:
+                words = [
+                    "".join(
+                        chars[int(c)]
+                        for c in rng.integers(0, len(chars), int(rng.integers(2, 8)))
+                    )
+                    for _ in range(int(rng.integers(2, 5)))
+                ]
+                text = " " + " ".join(words)
+            lead = 0.6 * float(rng.random())
+            audio, _ = render_chars(
+                text, vocab, lex, lead_s=lead,
+                augment_rng=rng if rng.random() < 0.67 else None,
+            )
+            amp = noise_amps[int(rng.integers(len(noise_amps)))]
+            if amp:
+                audio = audio + (
+                    amp * rng.standard_normal(len(audio))
+                ).astype(np.float32)
+            waves.append(audio[:N_SAMP])
+            labels.append(labels_for(text, vocab)[:L_MAX])
+        batch = np.zeros((n, N_SAMP), np.float32)
+        frame_n = np.zeros(n, np.int32)
+        lab = np.zeros((n, L_MAX), np.int32)
+        lab_pad = np.ones((n, L_MAX), np.float32)
+        for i, (w, x) in enumerate(zip(waves, labels)):
+            batch[i, : len(w)] = w
+            frame_n[i] = output_lengths(cfg, len(w))
+            lab[i, : len(x)] = x
+            lab_pad[i, : len(x)] = 0.0
+        t_frames = output_lengths(cfg, N_SAMP)
+        logit_pad = (
+            np.arange(t_frames)[None, :] >= frame_n[:, None]
+        ).astype(np.float32)
+        return batch, logit_pad, lab, lab_pad, frame_n, labels
+
+    def loss_fn(p, batch, logit_pad, lab, lab_pad):
+        # forward() returns log-probs; optax.ctc_loss is shift-invariant
+        # in its logits argument, so log-probs are an equivalent input
+        logp = forward(p, cfg, batch)
+        per = optax.ctc_loss(logp, logit_pad, lab, lab_pad, blank_id=blank_id)
         return per.mean()
 
     opt = optax.adam(
         optax.warmup_cosine_decay_schedule(
             init_value=lr / 10,
             peak_value=lr,
-            warmup_steps=30,
+            warmup_steps=50,
             decay_steps=steps,
-            end_value=lr / 30,
+            end_value=lr / 20,
         )
     )
+    params = init_params(cfg, jax.random.PRNGKey(seed), dtype=jnp.float32)
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(p, o):
-        loss, grads = jax.value_and_grad(loss_fn)(p)
+    def step(p, o, batch, logit_pad, lab, lab_pad):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            p, batch, logit_pad, lab, lab_pad
+        )
         updates, o = opt.update(grads, o)
         return optax.apply_updates(p, updates), o, loss
 
+    rng = np.random.default_rng(seed)
     loss = float("nan")
     for i in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+        batch, logit_pad, lab, lab_pad, _, _ = sample_rows(rng, MB)
+        params, opt_state, loss = step(
+            params,
+            opt_state,
+            jnp.asarray(batch),
+            jnp.asarray(logit_pad),
+            jnp.asarray(lab),
+            jnp.asarray(lab_pad),
+        )
         if log_every and (i + 1) % log_every == 0:
             print(f"[ctc] step {i + 1}/{steps} loss {float(loss):.4f}")
 
     fwd = jax.jit(lambda p, a: forward(p, cfg, a))
 
+    # HELD-OUT certificate: fresh rng stream the optimizer never consumed
+    # (seed offset), plus every canonical phrase at canonical rendering
+    eval_rng = np.random.default_rng(seed + 10_000)
+    ev_batch, _, _, _, ev_frames, ev_labels = sample_rows(
+        eval_rng, 48, canonical_frac=0.3
+    )
+
     def greedy_exact(p):
-        # greedy-decode certificate: collapse repeats, drop blanks, compare
-        best = np.asarray(fwd(p, batch_j)).argmax(-1)
+        best = np.asarray(fwd(p, jnp.asarray(ev_batch))).argmax(-1)
         exact = 0
-        for i in range(len(waves)):
+        for i in range(len(ev_labels)):
             seq = []
             prev = -1
-            for t in range(int(frame_n[i])):
+            for t in range(int(ev_frames[i])):
                 c = int(best[i, t])
                 if c != prev and c != blank_id:
                     seq.append(c)
                 prev = c
-            exact += int(seq == labels[i])
+            exact += int(seq == list(ev_labels[i]))
         return exact
 
-    # certify loop: a plateaued row or two (usually a clean-silence
-    # variant) gets trained out with constant-lr extra rounds
     exact = greedy_exact(params)
-    opt_extra = optax.adam(lr / 6)
+    opt_extra = optax.adam(lr / 5)
     extra_rounds = 0
-    # gate on loss too: exactness at a high loss sits on a numeric knife
-    # edge (precision-dependent decodes); push the per-frame confidence up
-    while (exact < len(waves) or float(loss) > 0.05) and extra_rounds < 6:
+    # target: >=90% held-out sequence exactness at low loss. The residual
+    # misses are CTC greedy edge cases (repeated chars needing a blank
+    # between, doubled emissions) — benign for FORCED alignment, where
+    # the trellis aligns the given text; the e2e onset tolerances in
+    # tests/test_ctc_learned.py are the real gate.
+    target_exact = int(np.ceil(0.9 * len(ev_labels)))
+    while (exact < target_exact or float(loss) > 0.1) and extra_rounds < 5:
         extra_rounds += 1
         if extra_rounds == 1:
             opt_state = opt_extra.init(params)
 
         @jax.jit
-        def step_extra(p, o):
-            loss, grads = jax.value_and_grad(loss_fn)(p)
+        def step_extra(p, o, batch, logit_pad, lab, lab_pad):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                p, batch, logit_pad, lab, lab_pad
+            )
             updates, o = opt_extra.update(grads, o)
             return optax.apply_updates(p, updates), o, loss
 
-        for _ in range(150):
-            params, opt_state, loss = step_extra(params, opt_state)
+        for _ in range(300):
+            batch, logit_pad, lab, lab_pad, _, _ = sample_rows(rng, MB)
+            params, opt_state, loss = step_extra(
+                params,
+                opt_state,
+                jnp.asarray(batch),
+                jnp.asarray(logit_pad),
+                jnp.asarray(lab),
+                jnp.asarray(lab_pad),
+            )
         exact = greedy_exact(params)
         if log_every:
             print(
-                f"[ctc certify] round {extra_rounds}: "
-                f"{exact}/{len(waves)} exact, loss {float(loss):.4f}"
+                f"[ctc certify] round {extra_rounds}: HELD-OUT "
+                f"{exact}/{len(ev_labels)} exact, loss {float(loss):.4f}"
             )
 
     report = {
         "final_loss": round(float(loss), 4),
         "steps": steps,
-        "examples": len(waves),
+        "online_minibatch": MB,
+        "heldout_exact": exact,
+        "heldout_total": len(ev_labels),
+        # kept under the old keys too so downstream gates stay simple
         "greedy_exact": exact,
-        "greedy_total": len(waves),
+        "greedy_total": len(ev_labels),
         "certify_rounds": extra_rounds,
     }
     return jax.device_get(params), cfg, vocab, report
