@@ -456,6 +456,12 @@ def main():
         # (reference ACTUAL_MODIFICATIONS_AND_DEPENDENCIES.md:102)
         asr_options["word_timestamps"] = True
         config_tag += " + DTW word timestamps"
+    beam = int(os.environ.get("WHISPERX_TPU_BENCH_BEAM", 0))
+    if beam > 1:
+        # product-settings beam cost (round-4 verdict Next #7: the beam
+        # superset claim needs a chip RTF number next to greedy's)
+        asr_options["beam_size"] = beam
+        config_tag += f" + beam={beam}"
 
     pipeline = load_model(
         model_name,

@@ -59,30 +59,70 @@ def _teacher_forced_rows(tokenizer, text_token_lists: List[List[int]]):
     return jnp.asarray(toks), lengths
 
 
-def _capture_cross_qk(model, tokens: jnp.ndarray, mels: jnp.ndarray):
+def _capture_cross_qk(model, tokens: jnp.ndarray, mels: jnp.ndarray, eot: int):
     """One teacher-forced decoder pass over [B, L] tokens / [B, 3000, M]
-    mels, returning (logits [B,L,V] f32 np, cross_qk [Lyr,B,H,L,1500] np)."""
-    dims = model.dims
-    feats = encoder_forward(
-        model.params, mels.astype(model.dtype), dims.n_audio_head
-    )
-    ck, cv = precompute_cross_kv(model.params, feats, dims.n_text_head)
-    cache = KVCache(
-        *init_kv_cache(dims, tokens.shape[0], model.dtype), ck, cv
-    )
-    logits, _, cross_qk = decoder_forward(
-        model.params,
-        tokens,
-        cache,
-        jnp.int32(0),
-        dims.n_text_head,
-        capture_cross_qk=True,
-    )
-    return np.asarray(logits, np.float32), np.asarray(cross_qk, np.float32)
+    mels, returning (next_token_probs [B,L-1] np, head_qk [A,B,L,1500] np).
+
+    The WHOLE pass is ONE jitted program (cached on the model object, one
+    compile per [B, L] bucket) and both outputs are reduced ON DEVICE
+    before download. Measured on a tunneled chip, each fix was the
+    difference between usable and not:
+      - eager ops ran the capture as hundreds of ~30 ms dispatches —
+        word_timing was 254 s of a 264 s large-v3 30-min pass; jitting
+        collapses it to the actual encoder+decoder compute;
+      - alignment-head selection downloads A planes instead of
+        layers×heads (large-v3: ~10 of 640);
+      - teacher-forced token probabilities: the consumer only reads
+        P(next token) under the text-restricted softmax (logits[:, :eot],
+        whisper semantics) — the full [B,L,51865] f32 logits were ~106 MB
+        (~2.6 s of tunnel) per group for a [B,L] result."""
+    import jax
+
+    key = (eot, tuple(model.alignment_heads))
+    fn = getattr(model, "_timing_capture_jit", None)
+    if fn is None or getattr(model, "_timing_capture_key", None) != key:
+        dims = model.dims
+        heads = tuple((int(l), int(h)) for l, h in model.alignment_heads)
+
+        @jax.jit
+        def _run(params, tokens, mels):
+            feats = encoder_forward(
+                params, mels.astype(model.dtype), dims.n_audio_head
+            )
+            ck, cv = precompute_cross_kv(params, feats, dims.n_text_head)
+            cache = KVCache(
+                *init_kv_cache(dims, tokens.shape[0], model.dtype), ck, cv
+            )
+            logits, _, cross_qk = decoder_forward(
+                params,
+                tokens,
+                cache,
+                jnp.int32(0),
+                dims.n_text_head,
+                capture_cross_qk=True,
+            )
+            text_probs = jax.nn.softmax(
+                logits[:, :-1, :eot].astype(jnp.float32), axis=-1
+            )
+            safe = jnp.clip(tokens[:, 1:], 0, eot - 1)
+            probs = jnp.take_along_axis(text_probs, safe[..., None], -1)[
+                ..., 0
+            ]
+            sel = jnp.stack(
+                [cross_qk[l][:, h] for l, h in heads], axis=0
+            )  # [A, B, L, 1500]
+            return probs, sel
+
+        fn = _run
+        model._timing_capture_jit = fn
+        model._timing_capture_key = key
+
+    probs, sel = fn(model.params, tokens, mels)
+    return np.asarray(probs, np.float32), np.asarray(sel, np.float32)
 
 
 def _alignment_from_capture(
-    logits_row: np.ndarray,
+    probs_row: np.ndarray,
     cqk_row: np.ndarray,
     text_tokens: List[int],
     num_frames: int,
@@ -92,28 +132,25 @@ def _alignment_from_capture(
     qk_scale: float,
 ) -> List[WordTiming]:
     """Per-window post-processing: softmax/z-norm/medfilt over the
-    alignment heads, DTW, token→word grouping. ``logits_row`` [T_row, V]
-    and ``cqk_row`` [L, H, T_row, 1500] must already be sliced to the
-    row's true token length."""
+    alignment heads, DTW, token→word grouping. ``probs_row`` [T_row-1]
+    (device-computed next-token probabilities) and ``cqk_row``
+    [A, T_row, 1500] (pre-selected alignment heads) must already be
+    sliced to the row's true token length."""
     sot_len = len(tokenizer.sot_sequence)
-    # token probabilities under teacher forcing — upstream restricts the
-    # softmax to text tokens (logits[:, :eot]); including EOT/timestamp
-    # columns (heavy near segment ends) would deflate every probability
-    sampled_logits = logits_row[sot_len:-1, : tokenizer.eot]
-    probs = _softmax(sampled_logits)[
-        np.arange(len(text_tokens)), list(text_tokens)
-    ]
-    text_token_probs = probs.tolist()
+    text_token_probs = probs_row[
+        sot_len : sot_len + len(text_tokens)
+    ].tolist()
 
-    heads = np.stack(
-        [cqk_row[l, h] for l, h in model.alignment_heads]
-    )  # [A, T_row, 1500]
-    heads = heads[:, :, : num_frames // 2]
+    heads = cqk_row[:, :, : num_frames // 2]  # [A, T_row, frames]
     weights = _softmax(heads * qk_scale)  # over frames
     mean = weights.mean(axis=-2, keepdims=True)
     std = weights.std(axis=-2, keepdims=True) + 1e-9
     weights = (weights - mean) / std
-    weights = np.asarray(median_filter(jnp.asarray(weights), medfilt_width))
+    # host median filter: the per-window tensor is tiny (A×T×frames) and a
+    # device round-trip per window costs a ~30 ms tunnel dispatch each —
+    # measured to dominate the words path (the jnp kernel remains for
+    # batched device-resident callers)
+    weights = _median_filter_np(weights, medfilt_width)
 
     matrix = weights.mean(axis=0)  # [T_row, frames]
     matrix = matrix[sot_len:-1]  # rows for text tokens + eot
@@ -160,11 +197,13 @@ def find_alignment(
     if len(text_tokens) == 0:
         return []
     tokens, lengths = _teacher_forced_rows(tokenizer, [text_tokens])
-    logits, cqk = _capture_cross_qk(model, tokens, jnp.asarray(mel)[None])
+    probs, cqk = _capture_cross_qk(
+        model, tokens, jnp.asarray(mel)[None], tokenizer.eot
+    )
     n = lengths[0]
     return _alignment_from_capture(
-        logits[0, :n],
-        cqk[:, 0, :, :n],
+        probs[0, : n - 1],
+        cqk[:, 0, :n],
         text_tokens,
         num_frames,
         model,
@@ -204,12 +243,14 @@ def find_alignment_batch(
         tokens, lengths = _teacher_forced_rows(
             tokenizer, [text_token_lists[i] for i in idxs]
         )
-        logits, cqk = _capture_cross_qk(model, tokens, mels[jnp.asarray(idxs)])
+        probs, cqk = _capture_cross_qk(
+            model, tokens, mels[jnp.asarray(idxs)], tokenizer.eot
+        )
         for j, i in enumerate(idxs):
             L = lengths[j]
             results[i] = _alignment_from_capture(
-                logits[j, :L],
-                cqk[:, j, :, :L],
+                probs[j, : L - 1],
+                cqk[:, j, :L],
                 text_token_lists[i],
                 num_frames_list[i],
                 model,
@@ -218,6 +259,15 @@ def find_alignment_batch(
                 qk_scale,
             )
     return results
+
+
+def _median_filter_np(x: np.ndarray, width: int) -> np.ndarray:
+    """Reflect-padded sliding median over the last axis (numpy; matches
+    timing.dtw.median_filter — pinned by tests/test_timing.py)."""
+    pad = width // 2
+    padded = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    win = np.lib.stride_tricks.sliding_window_view(padded, width, axis=-1)
+    return np.median(win, axis=-1).astype(x.dtype)
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:

@@ -541,16 +541,23 @@ def micro_checkpoint_cached(cache_root: Optional[str] = None) -> Tuple[str, dict
     return path, report
 
 
-def save_micro_checkpoint(path: str, params, dims, report: Optional[dict] = None) -> str:
+def save_micro_checkpoint(
+    path: str, params, dims, report: Optional[dict] = None,
+    alignment_heads=None,
+) -> str:
     """Persist as a standard convert/checkpoint.py directory that
-    ``whisperx_tpu.asr.load_model`` (and the CLI ``--model``) accepts."""
+    ``whisperx_tpu.asr.load_model`` (and the CLI ``--model``) accepts.
+    ``alignment_heads``: [(layer, head)] to pin for the DTW timing path
+    (the attention-supervised trainer trains SPECIFIC heads)."""
     from whisperx_tpu.convert.checkpoint import save_checkpoint
 
     config = {
         "name": "micro-learned",
         "family": "whisper",
         "dims": dataclasses.asdict(dims),
-        "alignment_heads": None,
+        "alignment_heads": [list(x) for x in alignment_heads]
+        if alignment_heads
+        else None,
         "micro_train": report or {},
     }
     save_checkpoint(path, params, config)
